@@ -1,0 +1,84 @@
+"""Benchmark: coupled IB-LBM throughput on one TPU chip.
+
+Headline metric (BASELINE.json): fluid MLUPS/chip + membrane
+vertex-updates/s on an RBC suspension at ~30% hematocrit.  The reference
+publishes no absolute MLUPS (BASELINE.md); ``vs_baseline`` is the ratio to an
+estimated 1.0 MLUPS/core for the MPI reference's coupled pipeflow (Palabos
+BGK at ~5 MLUPS/core, degraded ~5x by IBM+mechanics — consistent with the
+reference's own guidance of 16^3-25^3 blocks per core).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def time_run(runner, state, n, repeats=3):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = runner(state, n)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    from hemocell_tpu.dynamics import build_runner
+    from hemocell_tpu.presets import rbc_suspension
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    # ---- coupled suspension (headline) ----------------------------------
+    shape = (64, 64, 64)
+    # 30% hematocrit: RBC volume ~721 lu^3 -> ~109 cells in 64^3
+    cfg, state, meta = rbc_suspension(
+        shape=shape,
+        n_cells=109,
+        body_force=(5e-7, 0.0, 0.0),
+        particle_every=5,
+        material_every=20,
+    )
+    runner = build_runner(cfg)
+    state = runner(state, 1)  # compile + warmup
+    jax.block_until_ready(state)
+
+    n = 50
+    dt_coupled, state = time_run(runner, state, n)
+    nodes = shape[0] * shape[1] * shape[2]
+    mlups = nodes * n / dt_coupled / 1e6
+    vups = meta["n_vertices"] * n / dt_coupled
+
+    # ---- fluid only -----------------------------------------------------
+    cfg_f, state_f, _ = rbc_suspension(
+        shape=(128, 128, 128), n_cells=0, body_force=(5e-7, 0.0, 0.0),
+        repulsion=False,
+    )
+    runner_f = build_runner(cfg_f)
+    state_f = runner_f(state_f, 1)
+    jax.block_until_ready(state_f)
+    dt_fluid, _ = time_run(runner_f, state_f, n)
+    mlups_fluid = 128 ** 3 * n / dt_fluid / 1e6
+
+    result = {
+        "metric": "coupled MLUPS/chip (RBC suspension ~30% hematocrit)",
+        "value": round(mlups, 3),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / 1.0, 3),
+        "fluid_only_mlups": round(mlups_fluid, 3),
+        "vertex_updates_per_s": round(vups, 1),
+        "n_cells": meta["n_cells"],
+        "hematocrit": round(meta["hematocrit"], 3),
+        "platform": platform,
+        "s_per_iteration": round(dt_coupled / n, 6),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Lagrangian cell state: fixed-shape struct-of-arrays over ALL cells.
+
+TPU-native replacement for the per-block ``HemoCellParticleField`` particle
+vectors and envelope machinery (reference: core/hemoCellParticleField.{h,cpp},
+core/hemoCellParticleDataTransfer.cpp).  Because total vertex count is tiny
+compared to the lattice, vertex arrays are global (replicated across the
+device mesh): there is no particle migration, no envelope sync, and no
+periodic cellId re-labelling — positions are stored unwrapped and only
+wrapped modulo the domain when touching the lattice.
+
+Per cell type:
+  pos, vel         [NC, NV, 3]   lattice units; pos unwrapped
+  force            [NC, NV, 3]   constitutive + external forces
+  force_repulsion  [NC, NV, 3]   inter-cell + boundary repulsion
+  alive            [NC] bool     False once any vertex hits a boundary node
+                                 (replaces particle deletion + incomplete-
+                                 cell removal, hemoCellParticleField.cpp:566)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CellTypeState(NamedTuple):
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    force: jnp.ndarray
+    force_repulsion: jnp.ndarray
+    alive: jnp.ndarray
+
+    @property
+    def num_cells(self):
+        return self.pos.shape[0]
+
+    @property
+    def num_vertices(self):
+        return self.pos.shape[1]
+
+
+def make_cell_state(positions: np.ndarray, dtype=jnp.float32) -> CellTypeState:
+    """positions: [NC, NV, 3] initial vertex positions (lattice units)."""
+    pos = jnp.asarray(positions, dtype=dtype)
+    z = jnp.zeros_like(pos)
+    alive = jnp.ones(pos.shape[0], dtype=bool)
+    return CellTypeState(pos, z, z, z, alive)
+
+
+def place_cells(
+    template_vertices: np.ndarray,
+    centers_lu: np.ndarray,
+    angles_rad: np.ndarray | None = None,
+) -> np.ndarray:
+    """Instantiate template meshes at given centres/orientations.
+
+    Equivalent of positionCellInParticleField + meshRotation
+    (io/readPositionsBloodCells.cpp:40-96,120-186): rotate the template about
+    its bounding-box centre with XYZ Euler angles, then translate.
+
+    Returns [NC, NV, 3].
+    """
+    from ..mesh.generate import euler_xyz
+
+    nv = template_vertices.shape[0]
+    nc = centers_lu.shape[0]
+    out = np.empty((nc, nv, 3))
+    lo, hi = template_vertices.min(axis=0), template_vertices.max(axis=0)
+    bb_center = 0.5 * (lo + hi)
+    centered = template_vertices - bb_center
+    for i in range(nc):
+        v = centered
+        if angles_rad is not None:
+            R = euler_xyz(*angles_rad[i])
+            v = v @ R.T
+        out[i] = v + bb_center + centers_lu[i]
+    return out
+
+
+def filter_wall_overlaps(
+    cells_pos: np.ndarray,
+    flags: np.ndarray,
+    deny_layer: int = 0,
+) -> np.ndarray:
+    """Boolean keep-mask: drop cells with any vertex inside/near a wall
+    (placement denial, io/readPositionsBloodCells.cpp:142-166)."""
+    shape = np.asarray(flags.shape)
+    keep = np.ones(cells_pos.shape[0], dtype=bool)
+    for i, cell in enumerate(cells_pos):
+        node = np.floor(cell + 0.5).astype(int) % shape
+        if (flags[node[:, 0], node[:, 1], node[:, 2]] != 0).any():
+            keep[i] = False
+            continue
+        if deny_layer > 0:
+            for d in range(-deny_layer, deny_layer + 1):
+                for axis in range(3):
+                    n2 = node.copy()
+                    n2[:, axis] = (n2[:, axis] + d) % shape[axis]
+                    if (flags[n2[:, 0], n2[:, 1], n2[:, 2]] != 0).any():
+                        keep[i] = False
+                        break
+                if not keep[i]:
+                    break
+    return keep
+
+
+def load_pos_file(path: str, um_to_lu: float) -> tuple[np.ndarray, np.ndarray]:
+    """Read a packCells ``.pos`` file: first line count, then per cell
+    ``x y z rotX rotY rotZ`` (micrometres, degrees)
+    (io/readPositionsBloodCells.cpp:120-186).
+
+    Returns (centers_lu [NC,3], angles_rad [NC,3]); angles are negated and
+    converted to radians exactly as the reference loader does
+    (readPositionsBloodCells.cpp:231-233).
+    """
+    with open(path) as fh:
+        tokens = fh.read().split()
+    n = int(tokens[0])
+    vals = np.array(tokens[1 : 1 + 6 * n], dtype=np.float64).reshape(n, 6)
+    centers = vals[:, :3] * um_to_lu
+    angles = -np.deg2rad(vals[:, 3:])
+    return centers, angles

@@ -1,0 +1,237 @@
+"""The coupled IB-LBM time step.
+
+Reproduces the reference iteration contract (core/hemoCell.cpp:299-376):
+
+  1. inter-cell + boundary repulsion every ``repulsion_every`` steps
+  2. spread (capped) particle forces to the fluid; add driving body force
+  3. fluid collide + stream  [+ CEPAC advection-diffusion when enabled]
+  4. interpolate fluid velocity to vertices every ``particle_every`` steps
+  5. advance vertices (Euler, pos += v); kill cells touching boundary nodes
+  6. constitutive model every ``material_every`` steps (per cell type)
+  7. (forces on the lattice rebuilt from scratch each step — no reset needed)
+
+as ONE jitted function over a ``SimState`` pytree.  Timescale separation uses
+``lax.cond`` on the traced iteration counter so the whole loop stays a single
+compiled XLA program; ``run(state, n)`` wraps it in ``lax.fori_loop``.
+
+Static configuration (lattice flags, topologies, constants) is closed over;
+only the state flows through.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cells.repulsion import boundary_repulsion_forces, repulsion_forces
+from .cells.state import CellTypeState
+from .fluid import lbm
+from .ibm import coupling
+
+
+class SimState(NamedTuple):
+    f: jnp.ndarray  # [19, X, Y, Z]
+    it: jnp.ndarray  # int32 scalar
+    cells: tuple  # tuple[CellTypeState, ...]
+
+
+@dataclass
+class TypeConfig:
+    """Static per-celltype configuration for the step builder."""
+
+    name: str
+    model_fn: Callable  # (pos, vel, topo_arrays, mc) -> ForceTerms
+    topo: dict  # device arrays from topology_device_arrays
+    material: dict  # float coefficients
+    material_every: int = 1  # stepMaterialEvery (timescale)
+    ext_force: Optional[jnp.ndarray] = None  # [NC, NV, 3] static external
+
+
+@dataclass
+class StepConfig:
+    """Static global configuration."""
+
+    shape: tuple  # (X, Y, Z)
+    flags: jnp.ndarray  # uint8 [X,Y,Z]
+    omega: Any  # scalar or [X,Y,Z]
+    types: Sequence[TypeConfig] = field(default_factory=list)
+    bc_velocity: Optional[jnp.ndarray] = None  # [3,X,Y,Z]
+    body_force: Optional[jnp.ndarray] = None  # [3] or [3,X,Y,Z]
+    particle_every: int = 1  # stepParticleEvery
+    f_limit: float = 1e30
+    # repulsion (reference: config kRep/RepCutoff in lbm units)
+    repulsion_constant: float = 0.0
+    repulsion_cutoff: float = 0.0
+    repulsion_every: int = 1
+    boundary_repulsion_constant: float = 0.0
+    boundary_repulsion_cutoff: float = 0.0
+    boundary_repulsion_every: int = 1
+    boundary_mask: Optional[jnp.ndarray] = None  # uint8 [X,Y,Z]
+    dtype: Any = jnp.float32
+
+
+def _every(it, k, fn, operand, fallback):
+    """lax.cond on (it % k == 0); skips the cond when k == 1."""
+    if k <= 1:
+        return fn(operand)
+    return jax.lax.cond(it % k == 0, fn, lambda _: fallback, operand)
+
+
+def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
+    """Build the single-iteration function.  Pure; jit at call site."""
+    shape = tuple(int(s) for s in cfg.shape)
+    fshape = jnp.asarray(shape, dtype=cfg.dtype)
+    n_types = len(cfg.types)
+
+    # global cell ids across types, for cross-type repulsion exclusion
+    gid_offset = np.cumsum([0] + [0 for _ in range(n_types)])
+
+    def step(state: SimState) -> SimState:
+        it = state.it
+        cells = list(state.cells)
+
+        # ---- flatten vertices across types --------------------------------
+        pos_parts, act_parts, gid_parts, ftot_parts = [], [], [], []
+        offset = 0
+        for tc, cs in zip(cfg.types, cells):
+            nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+            pos_parts.append(cs.pos.reshape(-1, 3))
+            act = jnp.repeat(cs.alive.astype(cfg.dtype), nv)
+            act_parts.append(act)
+            gids = jnp.repeat(jnp.arange(nc, dtype=jnp.int32) + offset, nv)
+            gid_parts.append(gids)
+            offset += nc
+        pos_flat = jnp.concatenate(pos_parts) if pos_parts else None
+        active = jnp.concatenate(act_parts) if act_parts else None
+        cell_gid = jnp.concatenate(gid_parts) if gid_parts else None
+
+        # ---- 1: repulsion -------------------------------------------------
+        if pos_flat is not None and cfg.repulsion_constant > 0.0:
+            def _rep(p):
+                return repulsion_forces(
+                    p, cell_gid, active, shape,
+                    cfg.repulsion_constant, cfg.repulsion_cutoff,
+                )
+            frep = _every(it, cfg.repulsion_every, _rep, pos_flat,
+                          jnp.zeros_like(pos_flat))
+        else:
+            frep = None
+
+        if (
+            pos_flat is not None
+            and cfg.boundary_repulsion_constant > 0.0
+            and cfg.boundary_mask is not None
+        ):
+            def _brep(p):
+                return boundary_repulsion_forces(
+                    p, active, cfg.boundary_mask, shape,
+                    cfg.boundary_repulsion_constant,
+                    cfg.boundary_repulsion_cutoff,
+                )
+            fb = _every(it, cfg.boundary_repulsion_every, _brep, pos_flat,
+                        jnp.zeros_like(pos_flat))
+            frep = fb if frep is None else frep + fb
+
+        # scatter repulsion back into per-type state
+        if frep is not None:
+            offset = 0
+            for k, cs in enumerate(cells):
+                nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+                cnt = nc * nv
+                cells[k] = cs._replace(
+                    force_repulsion=frep[offset : offset + cnt].reshape(nc, nv, 3)
+                )
+                offset += cnt
+
+        # ---- 2: spread particle forces + body force -----------------------
+        force_field = jnp.zeros((3,) + shape, dtype=cfg.dtype)
+        if cfg.body_force is not None:
+            bf = jnp.asarray(cfg.body_force, dtype=cfg.dtype)
+            if bf.ndim == 1:
+                bf = bf[:, None, None, None]
+            force_field = force_field + bf
+
+        stencils = []  # reuse for interpolation (reference caches the kernel)
+        for tc, cs in zip(cfg.types, cells):
+            nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+            p = jnp.mod(cs.pos.reshape(-1, 3), fshape[None, :])
+            amask = jnp.repeat(cs.alive.astype(cfg.dtype), nv)
+            idx, w = coupling.stencil(p, cfg.flags, weight_mask=amask)
+            stencils.append((idx, w))
+            # spread total = constitutive + repulsion, capped
+            # (core/hemoCellParticleField.cpp:841-863)
+            ftot = coupling.cap_force(
+                cs.force.reshape(-1, 3), cfg.f_limit
+            ) + cs.force_repulsion.reshape(-1, 3)
+            force_field = force_field + coupling.spread(ftot, idx, w, shape,
+                                                        dtype=cfg.dtype)
+
+        # ---- 3: fluid collide + stream ------------------------------------
+        f_new = lbm.stream_collide(
+            state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
+        )
+
+        # ---- 4: interpolate fluid velocity to vertices --------------------
+        if cells:
+            _, u = lbm.macroscopic(f_new, force_field)
+            for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
+                nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+                idx, w = stencils[k]
+
+                def _interp(_unused, idx=idx, w=w, nc=nc, nv=nv):
+                    return coupling.interpolate(u, idx, w).reshape(nc, nv, 3)
+
+                vel = _every(it, cfg.particle_every, _interp, None, cs.vel)
+                cells[k] = cs._replace(vel=vel)
+
+        # ---- 5: advance + boundary-contact deletion -----------------------
+        for k, cs in enumerate(cells):
+            new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
+            nc, nv = new_pos.shape[0], new_pos.shape[1]
+            hit = coupling.on_boundary(
+                jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), cfg.flags
+            ).reshape(nc, nv)
+            alive = cs.alive & ~jnp.any(hit, axis=1)
+            cells[k] = cs._replace(pos=new_pos, alive=alive)
+
+        # ---- 6: constitutive model ----------------------------------------
+        for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
+            def _mech(args, tc=tc):
+                p, v = args
+                ft = jax.vmap(
+                    lambda pp, vv: tc.model_fn(pp, vv, tc.topo, tc.material).total
+                )(p, v)
+                if tc.ext_force is not None:
+                    ft = ft + tc.ext_force
+                return ft
+
+            force = _every(
+                it, tc.material_every, _mech, (cs.pos, cs.vel), cs.force
+            )
+            cells[k] = cs._replace(force=force)
+
+        return SimState(f=f_new, it=it + 1, cells=tuple(cells))
+
+    return step
+
+
+def build_runner(cfg: StepConfig):
+    """jitted (state, n) -> state advancing n iterations."""
+    step = build_step(cfg)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(state: SimState, n: int) -> SimState:
+        return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+
+    return run
+
+
+def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
+                      rho0=1.0, u0=(0.0, 0.0, 0.0)) -> SimState:
+    f = lbm.initial_state(cfg.shape, rho0=rho0, u0=u0, dtype=cfg.dtype)
+    return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states))

@@ -1,0 +1,355 @@
+"""The HemoCell facade: owns fluid + cell fields + config, exposes the same
+workflow as the reference ``HemoCell`` class (hemocell.h:68-253,
+core/hemoCell.cpp): construct from XML config, initialize lattice, add cell
+types, load particle positions, iterate, write output, checkpoint.
+
+The compiled step (dynamics.build_runner) is rebuilt lazily whenever the
+static configuration changes; iteration state lives in a ``SimState`` pytree
+so the whole loop runs on device.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cells.repulsion import boundary_neighbor_mask
+from .cells.state import (
+    CellTypeState,
+    filter_wall_overlaps,
+    load_pos_file,
+    make_cell_state,
+    place_cells,
+)
+from .config import Config, Parameters
+from .config.defaults import FLAG_FLUID, FLAG_WALL
+from .dynamics import SimState, StepConfig, TypeConfig, build_runner, initial_sim_state
+from .fluid import lbm
+from .mechanics import (
+    MODEL_REGISTRY,
+    convert_material,
+    material_dict,
+    topology_device_arrays,
+)
+from .mesh import MeshMetrics, build_topology, construct_mesh
+from .utils import cellinfo
+from .utils.profiler import Profiler
+
+
+@dataclass
+class CellType:
+    """One cell species: template mesh + topology + material + model
+    (reference: core/hemoCellField.{h,cpp} HemoCellField)."""
+
+    name: str
+    ctype: int
+    model_name: str
+    mesh: object
+    topo: object
+    topo_dev: dict
+    material: dict
+    material_cfg: object
+    timescale: int = 1  # stepMaterialEvery
+    ext_force: Optional[np.ndarray] = None
+    volume_um3: float = 0.0
+    minimum_distance_from_solid_um: float = 0.0
+
+    @property
+    def num_vertices(self):
+        return self.mesh.num_vertices
+
+
+class HemoCell:
+    def __init__(self, config_path: Optional[str] = None, params: Optional[Parameters] = None):
+        self.cfg = Config(config_path) if config_path else None
+        if params is not None:
+            self.params = params
+        elif self.cfg is not None:
+            self.params = Parameters.from_config(self.cfg)
+        else:
+            raise ValueError("need config_path or params")
+        self.dtype = jnp.float32
+        self.iter = 0
+        self.cell_types: list[CellType] = []
+        self.cell_states: list[CellTypeState] = []
+        self.shape = None
+        self.flags = None
+        self.bc_velocity = None
+        self.body_force = None
+        self.omega = 1.0 / self.params.tau
+        self.periodicity = (True, True, True)
+        self.profiler = Profiler("hemocell")
+        # timescales (reference: cellfields setters, hemocell.h:139-151)
+        self.particle_every = (
+            self.cfg["ibm"].get("stepParticleEvery", int, 1) if self.cfg and "ibm" in self.cfg else 1
+        )
+        self._default_material_every = (
+            self.cfg["ibm"].get("stepMaterialEvery", int, 1) if self.cfg and "ibm" in self.cfg else 1
+        )
+        # repulsion off by default (reference: enableRepulsion flags)
+        self.repulsion_constant = 0.0
+        self.repulsion_cutoff = 0.0
+        self.repulsion_every = 1
+        self.boundary_repulsion_constant = 0.0
+        self.boundary_repulsion_cutoff = 0.0
+        self.boundary_repulsion_every = 1
+        self._state: Optional[SimState] = None
+        self._runner = None
+        self._dirty = True
+        self.outdir = None
+
+    # ------------------------------------------------------------------
+    # setup
+
+    def initialize_lattice(self, shape=None, flags=None, rho0=1.0, u0=(0, 0, 0)):
+        """Dense lattice from a shape or a voxelized flag matrix
+        (reference: HemoCell::initializeLattice, core/hemoCell.cpp:438-571 —
+        sparse block decomposition is replaced by one dense sharded array)."""
+        if flags is not None:
+            flags = np.asarray(flags, dtype=np.uint8)
+            shape = flags.shape
+        else:
+            flags = np.zeros(shape, dtype=np.uint8)
+        self.shape = tuple(int(s) for s in shape)
+        self.flags = jnp.asarray(flags)
+        self._rho0, self._u0 = rho0, u0
+        self._dirty = True
+
+    def latticeEquilibrium(self, rho, u):
+        self._rho0, self._u0 = rho, tuple(u)
+        self._dirty = True
+
+    def initializeCellfield(self):
+        """Kept for API parity; cell fields are created on add_cell_type."""
+
+    def add_cell_type(self, name: str, model: str = "RbcHighOrderModel",
+                      construct_type: Optional[str] = None):
+        """Read ``<name>.xml`` next to the config and build the template
+        (reference: HemoCell::addCellType<Mechanics>, hemocell.h:122-128 +
+        core/hemoCellField.cpp:38-120)."""
+        base = self.cfg.directory if self.cfg else "."
+        xml_path = os.path.join(base, name + ".xml")
+        mat_cfg = Config(xml_path)["MaterialModel"]
+        if construct_type is None:
+            construct_type = {
+                "RbcHighOrderModel": "RBC_FROM_SPHERE",
+                "RbcMalariaModel": "RBC_FROM_SPHERE",
+                "WbcHighOrderModel": "WBC_SPHERE",
+                "PltSimpleModel": "ELLIPSOID_FROM_SPHERE",
+                "NoOp": "ELLIPSOID_FROM_SPHERE",
+            }[model]
+        radius_lu = mat_cfg["radius"].read(float) / self.params.dx
+        min_tri = mat_cfg.get("minNumTriangles", int, 600)
+        aspect = mat_cfg.get("aspectRatio", float, 0.3)
+        stl_file = mat_cfg.get("StlFile", str, None)
+        if stl_file:
+            construct_type = "MESH_FROM_STL"
+            stl_file = os.path.join(base, stl_file)
+        mesh = construct_mesh(construct_type, radius_lu, min_tri, aspect, stl_file)
+
+        inner = []
+        if "InnerEdges" in mat_cfg:
+            for edge in mat_cfg["InnerEdges"].children():
+                a, b = (int(v) for v in edge.text.split())
+                inner.append((a, b))
+        topo = build_topology(mesh, inner_edges=np.array(inner) if inner else None)
+        material = material_dict(
+            convert_material(mat_cfg, self.params, mesh.num_triangles)
+        )
+        ct = CellType(
+            name=name,
+            ctype=len(self.cell_types),
+            model_name=model,
+            mesh=mesh,
+            topo=topo,
+            topo_dev=topology_device_arrays(topo, dtype=self.dtype),
+            material=material,
+            material_cfg=mat_cfg,
+            timescale=self._default_material_every,
+            volume_um3=mat_cfg.get("Volume", float, 0.0),
+            minimum_distance_from_solid_um=mat_cfg.get(
+                "minimumDistanceFromSolid", float, 0.0
+            ),
+        )
+        self.cell_types.append(ct)
+        self.cell_states.append(make_cell_state(np.zeros((0, mesh.num_vertices, 3)),
+                                                dtype=self.dtype))
+        self._dirty = True
+        return ct
+
+    def load_particles(self, pos_dir: Optional[str] = None):
+        """Load ``<name>.pos`` per cell type, place template meshes, drop
+        cells overlapping walls (reference: HemoCell::loadParticles,
+        core/hemoCell.cpp:191-197 + io/readPositionsBloodCells.cpp)."""
+        base = pos_dir or (self.cfg.directory if self.cfg else ".")
+        um_to_lu = 1e-6 / self.params.dx
+        for k, ct in enumerate(self.cell_types):
+            path = os.path.join(base, ct.name + ".pos")
+            centers, angles = load_pos_file(path, um_to_lu)
+            cells = place_cells(ct.mesh.vertices, centers, angles)
+            deny = int(round(ct.minimum_distance_from_solid_um * um_to_lu))
+            keep = filter_wall_overlaps(cells, np.asarray(self.flags), deny)
+            self.set_cells(k, cells[keep])
+
+    def set_cells(self, type_index: int, positions: np.ndarray):
+        self.cell_states[type_index] = make_cell_state(positions, dtype=self.dtype)
+        self._dirty = True
+
+    def set_external_force(self, ct_index: int, force: np.ndarray):
+        """Static per-vertex external force (e.g. optical-tweezers stretch)."""
+        self.cell_types[ct_index].ext_force = jnp.asarray(force, dtype=self.dtype)
+        self._dirty = True
+
+    def enable_repulsion(self, constant=None, cutoff=None, every=1):
+        """Inter-cell repulsion (reference: kRep/RepCutoff in config +
+        setRepulsion/setRepulsionTimeScaleSeparation)."""
+        if constant is None:
+            k_rep_si = self.cfg["domain"]["kRep"].read(float)
+            constant = k_rep_si / self.params.df
+        if cutoff is None:
+            cutoff = self.cfg["domain"]["RepCutoff"].read(float)
+        self.repulsion_constant = float(constant)
+        self.repulsion_cutoff = float(cutoff)
+        self.repulsion_every = int(every)
+        self._dirty = True
+
+    def enable_boundary_repulsion(self, constant, cutoff, every=1):
+        self.boundary_repulsion_constant = float(constant)
+        self.boundary_repulsion_cutoff = float(cutoff)
+        self.boundary_repulsion_every = int(every)
+        self._dirty = True
+
+    def set_body_force(self, force):
+        """Uniform driving force density [3] (pipe flow drive)."""
+        self.body_force = jnp.asarray(force, dtype=self.dtype)
+        if self._state is not None and not self._dirty:
+            # rebuild runner but keep state
+            self._dirty = True
+
+    def set_system_periodicity(self, axis_or_tuple, value=None):
+        """API parity (hemocell.h setSystemPeriodicity); the dense lattice is
+        always periodic, walls come from the flag matrix."""
+        if value is None:
+            self.periodicity = tuple(axis_or_tuple)
+        else:
+            p = list(self.periodicity)
+            p[axis_or_tuple] = value
+            self.periodicity = tuple(p)
+
+    # ------------------------------------------------------------------
+    # compiled step management
+
+    def _build(self):
+        types = []
+        for ct in self.cell_types:
+            types.append(
+                TypeConfig(
+                    name=ct.name,
+                    model_fn=MODEL_REGISTRY[ct.model_name],
+                    topo=ct.topo_dev,
+                    material=ct.material,
+                    material_every=ct.timescale,
+                    ext_force=ct.ext_force,
+                )
+            )
+        bmask = None
+        if self.boundary_repulsion_constant > 0.0:
+            bmask = jnp.asarray(boundary_neighbor_mask(np.asarray(self.flags)))
+        cfg = StepConfig(
+            shape=self.shape,
+            flags=self.flags,
+            omega=self.omega,
+            types=types,
+            bc_velocity=self.bc_velocity,
+            body_force=self.body_force,
+            particle_every=self.particle_every,
+            f_limit=self.params.f_limit,
+            repulsion_constant=self.repulsion_constant,
+            repulsion_cutoff=self.repulsion_cutoff,
+            repulsion_every=self.repulsion_every,
+            boundary_repulsion_constant=self.boundary_repulsion_constant,
+            boundary_repulsion_cutoff=self.boundary_repulsion_cutoff,
+            boundary_repulsion_every=self.boundary_repulsion_every,
+            boundary_mask=bmask,
+            dtype=self.dtype,
+        )
+        self._step_cfg = cfg
+        self._runner = build_runner(cfg)
+        if self._state is None:
+            self._state = initial_sim_state(
+                cfg, self.cell_states, rho0=getattr(self, "_rho0", 1.0),
+                u0=getattr(self, "_u0", (0.0, 0.0, 0.0)),
+            )
+        else:
+            # keep fluid + iteration, adopt (possibly new) cell states
+            self._state = SimState(
+                f=self._state.f, it=self._state.it, cells=tuple(self.cell_states)
+            )
+        self._dirty = False
+
+    def fresh_state(self):
+        self._state = None
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # running
+
+    def iterate(self, n: int = 1):
+        """Advance n coupled iterations (reference: HemoCell::iterate)."""
+        if self._dirty or self._runner is None:
+            # push current (possibly updated) cell states into the state
+            self._build()
+        with self.profiler("iterate"):
+            self._state = self._runner(self._state, n)
+        self.iter = int(self._state.it)
+        # mirror state back for observers
+        self.cell_states = list(self._state.cells)
+        return self._state
+
+    def block(self):
+        jax.block_until_ready(self._state)
+
+    # ------------------------------------------------------------------
+    # observables
+
+    @property
+    def state(self) -> SimState:
+        if self._dirty or self._state is None:
+            self._build()
+        return self._state
+
+    def fluid_velocity(self):
+        st = self.state
+        force = jnp.zeros((3,) + self.shape, dtype=self.dtype)
+        _, u = lbm.macroscopic(st.f, force)
+        return u
+
+    def fluid_density(self):
+        return jnp.sum(self.state.f, axis=0)
+
+    def cell_volumes(self, type_index=0):
+        ct = self.cell_types[type_index]
+        return cellinfo.volumes(self.state.cells[type_index].pos, ct.topo_dev["tri"])
+
+    def cell_areas(self, type_index=0):
+        ct = self.cell_types[type_index]
+        return cellinfo.areas(self.state.cells[type_index].pos, ct.topo_dev["tri"])
+
+    def cell_bounding_boxes(self, type_index=0):
+        return cellinfo.bounding_boxes(self.state.cells[type_index].pos)
+
+    def alive_count(self, type_index=0):
+        return int(self.state.cells[type_index].alive.sum())
+
+    def mean_force_pn(self, type_index=0):
+        """Mean vertex force magnitude in pN (pipeflow oracle)."""
+        cs = self.state.cells[type_index]
+        f_lu = cellinfo.mean_force_magnitude(cs.force + cs.force_repulsion, cs.alive)
+        return float(f_lu) * self.params.df * 1e12

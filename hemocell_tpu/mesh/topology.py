@@ -123,8 +123,13 @@ def build_topology(
     bend_outer = np.zeros((ne, 2), dtype=np.int32)
     edge_angle_eq = np.zeros(ne)
     for e, (i, j) in enumerate(edges):
-        t0, op0 = opposite[(int(i), int(j))]
-        t1, op1 = opposite[(int(j), int(i))]
+        # Pair order = (triangle on the (j->i) side, triangle on (i->j)):
+        # this makes the signed dihedral NEGATIVE on convex ridges, which is
+        # the orientation for which the reference's edge bending force
+        # (pltSimpleModel.cpp:154-184) is restoring — verified analytically
+        # on a two-triangle ridge and by relaxation tests.
+        t0, op0 = opposite[(int(j), int(i))]
+        t1, op1 = opposite[(int(i), int(j))]
         bend_tri[e] = (t0, t1)
         bend_outer[e] = (op0, op1)
         n1, n2 = tri_normals[t0], tri_normals[t1]

@@ -1,0 +1,118 @@
+"""Multi-chip scale-out: GSPMD sharding of the simulation state.
+
+TPU-native replacement for the reference's MPI spatial domain decomposition
+(sparse atomic blocks + envelope exchange, core/hemoCell.cpp:438-571,
+core/hemoCellFields.cpp:363-499):
+
+  * The dense lattice ``f[19, X, Y, Z]`` is sharded over a
+    ``jax.sharding.Mesh`` along the X (and optionally Y) axes; the streaming
+    rolls compile to ICI halo exchanges inserted by XLA — no hand-written
+    envelope protocol.
+  * Vertex arrays are tiny next to the lattice and stay replicated; the IBM
+    scatter/gather against the sharded force/velocity fields is partitioned
+    by GSPMD.  This removes the reference's entire particle-communication
+    machinery (two-phase request/response envelope sync).
+  * Periodic wrap identity (cellId offset relabeling,
+    core/hemoCellParticleDataTransfer.cpp:33-65) is unnecessary: positions
+    are global and unwrapped.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dynamics import SimState, StepConfig, build_step
+
+
+def make_mesh(n_devices: int | None = None, axes: tuple = ("x",)) -> Mesh:
+    """1-D (or 2-D) device mesh over the first n devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if len(axes) == 1:
+        arr = np.array(devs)
+    else:
+        nx = 2 ** int(math.floor(math.log2(n) / 2))
+        arr = np.array(devs).reshape(nx, n // nx)
+    return Mesh(arr, axes)
+
+
+def lattice_spec(mesh: Mesh) -> P:
+    """Shard the lattice spatially: f[19, X, Y, Z] over ('x'[, 'y'])."""
+    if len(mesh.axis_names) == 1:
+        return P(None, "x", None, None)
+    return P(None, "x", "y", None)
+
+
+def field_spec(mesh: Mesh) -> P:
+    if len(mesh.axis_names) == 1:
+        return P("x", None, None)
+    return P("x", "y", None)
+
+
+def shard_state(state: SimState, mesh: Mesh) -> SimState:
+    """Place the lattice sharded, cell arrays replicated."""
+    f = jax.device_put(state.f, NamedSharding(mesh, lattice_spec(mesh)))
+    rep = NamedSharding(mesh, P())
+    cells = jax.tree.map(lambda x: jax.device_put(x, rep), state.cells)
+    it = jax.device_put(state.it, rep)
+    return SimState(f=f, it=it, cells=cells)
+
+
+def shard_step_config(cfg: StepConfig, mesh: Mesh) -> StepConfig:
+    """Place the static fields (flags, masks, bc velocity) with matching
+    shardings so the compiled step keeps everything distributed."""
+    fs = NamedSharding(mesh, field_spec(mesh))
+    rep = NamedSharding(mesh, P())
+    flags = jax.device_put(cfg.flags, fs)
+    bc = (
+        jax.device_put(cfg.bc_velocity, NamedSharding(mesh, lattice_spec(mesh)))
+        if cfg.bc_velocity is not None
+        else None
+    )
+    omega = (
+        jax.device_put(cfg.omega, fs)
+        if hasattr(cfg.omega, "ndim") and getattr(cfg.omega, "ndim", 0) == 3
+        else cfg.omega
+    )
+    bmask = (
+        jax.device_put(cfg.boundary_mask, fs)
+        if cfg.boundary_mask is not None
+        else None
+    )
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, flags=flags, bc_velocity=bc, omega=omega, boundary_mask=bmask
+    )
+
+
+def build_sharded_runner(cfg: StepConfig, mesh: Mesh):
+    """jitted (state, n) -> state with explicit output shardings so the
+    lattice stays sharded across iterations."""
+    cfg = shard_step_config(cfg, mesh)
+    step = build_step(cfg)
+
+    f_sh = NamedSharding(mesh, lattice_spec(mesh))
+    rep = NamedSharding(mesh, P())
+
+    def out_shardings(state: SimState):
+        cells = jax.tree.map(lambda _: rep, state.cells)
+        return SimState(f=f_sh, it=rep, cells=cells)
+
+    def run(state: SimState, n: int) -> SimState:
+        shardings = out_shardings(state)
+
+        @jax.jit
+        def _run(s):
+            body = lambda _, ss: jax.lax.with_sharding_constraint(step(ss), shardings)
+            return jax.lax.fori_loop(0, n, body, s)
+
+        return _run(state)
+
+    return run

@@ -7,7 +7,10 @@ the multi-chip path).  Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (single tunneled TPU chip)
+# and its sitecustomize overrides jax_platforms via jax.config at interpreter
+# start — so both the env var AND the config entry must be forced back to cpu.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # f64 available for validation-grade tests; arrays default to f32 unless asked
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long validation runs (--run-slow)")
 
 
 def pytest_addoption(parser):
