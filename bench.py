@@ -11,10 +11,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# persistent compile cache: the first tunnel compile can take minutes,
+# repeat runs should be seconds
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def time_run(runner, state, n, repeats=3):
@@ -35,6 +41,9 @@ def main():
     platform = dev.platform
 
     # ---- coupled suspension (headline) ----------------------------------
+    # Mirrors the validated pipeflow settings (examples/pipeflow/pipeflow.cpp):
+    # stepParticleEvery=5, stepMaterialEvery=20, repulsion disabled (it is
+    # commented out in the reference example too).
     shape = (64, 64, 64)
     # 30% hematocrit: RBC volume ~721 lu^3 -> ~109 cells in 64^3
     cfg, state, meta = rbc_suspension(
@@ -43,6 +52,7 @@ def main():
         body_force=(5e-7, 0.0, 0.0),
         particle_every=5,
         material_every=20,
+        repulsion=False,
     )
     runner = build_runner(cfg)
     state = runner(state, 1)  # compile + warmup

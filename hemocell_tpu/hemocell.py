@@ -154,12 +154,19 @@ class HemoCell:
             stl_file = os.path.join(base, stl_file)
         mesh = construct_mesh(construct_type, radius_lu, min_tri, aspect, stl_file)
 
-        inner = []
+        inner = None
         if "InnerEdges" in mat_cfg:
-            for edge in mat_cfg["InnerEdges"].children():
-                a, b = (int(v) for v in edge.text.split())
-                inner.append((a, b))
-        topo = build_topology(mesh, inner_edges=np.array(inner) if inner else None)
+            # The reference XMLs hard-code vertex-id pairs tied to the
+            # Palabos dedup ordering ("TODO: make it automatic",
+            # commonCellConstants.cpp:142).  We derive the transverse
+            # stiffening pairs geometrically instead: mirror pairs across
+            # the disc plane — ordering-independent and exhaustive.
+            from .mesh.generate import mirror_inner_edges
+
+            inner = mirror_inner_edges(mesh, axis=1)
+            if len(inner) == 0:
+                inner = None
+        topo = build_topology(mesh, inner_edges=inner)
         material = material_dict(
             convert_material(mat_cfg, self.params, mesh.num_triangles)
         )
@@ -353,3 +360,96 @@ class HemoCell:
         cs = self.state.cells[type_index]
         f_lu = cellinfo.mean_force_magnitude(cs.force + cs.force_repulsion, cs.alive)
         return float(f_lu) * self.params.df * 1e12
+
+    # ------------------------------------------------------------------
+    # output & checkpointing
+
+    def set_output_dir(self, path: str):
+        self.outdir = path
+        os.makedirs(path, exist_ok=True)
+
+    def write_output(self, fluid_fields=("Velocity", "Density", "Boundary"),
+                     si_units=False):
+        """HDF5 fluid + per-type cell files and per-cell CSV for this
+        iteration (reference: HemoCell::writeOutput,
+        core/hemoCell.cpp:221-287)."""
+        from .io import write_cell_csv, write_cells_hdf5, write_fluid_hdf5
+
+        if self.outdir is None:
+            raise RuntimeError("call set_output_dir first")
+        st = self.state
+        zero_force = jnp.zeros((3,) + self.shape, dtype=self.dtype)
+        rho, u = lbm.macroscopic(st.f, zero_force)
+        fields = {}
+        for name in fluid_fields:
+            if name == "Velocity":
+                fields[name] = np.asarray(u).transpose(1, 2, 3, 0)
+            elif name == "Density":
+                fields[name] = np.asarray(rho)
+            elif name == "Boundary":
+                fields[name] = np.asarray(self.flags).astype(np.float32)
+            elif name == "ShearRate":
+                fields[name] = np.asarray(
+                    lbm.shear_rate_magnitude(st.f, zero_force, self.omega)
+                )
+            elif name == "Omega":
+                om = np.asarray(self.omega)
+                fields[name] = np.broadcast_to(om, self.shape).copy()
+        write_fluid_hdf5(
+            self.outdir, self.iter, self.params.dx, self.params.dt, fields,
+            si_units=si_units,
+        )
+        for k, ct in enumerate(self.cell_types):
+            cs = st.cells[k]
+            alive = np.asarray(cs.alive)
+            pos = np.asarray(cs.pos)[alive]
+            vel = np.asarray(cs.vel)[alive]
+            frc = np.asarray(cs.force)[alive]
+            nca = pos.shape[0]
+            nv = ct.num_vertices
+            tris = (
+                np.asarray(ct.topo.triangles)[None, :, :]
+                + (np.arange(nca) * nv)[:, None, None]
+            ).reshape(-1, 3)
+            write_cells_hdf5(
+                self.outdir, self.iter, ct.name,
+                positions=pos.reshape(-1, 3),
+                datasets={
+                    "Velocity": vel.reshape(-1, 3),
+                    "Total force": frc.reshape(-1, 3),
+                    "Cell Id": np.repeat(np.arange(nca), nv)[:, None],
+                    "Vertex Id": np.tile(np.arange(nv), nca)[:, None],
+                },
+                triangles=tris,
+            )
+            # per-cell CSV (io/writeCellInfoCSV.cpp)
+            vols = np.asarray(self.cell_volumes(k))[alive]
+            areas = np.asarray(self.cell_areas(k))[alive]
+            centers = pos.mean(axis=1)
+            vels = vel.mean(axis=1)
+            ids = np.arange(len(alive))[alive]
+            rows = [
+                [centers[i, 0], centers[i, 1], centers[i, 2], areas[i],
+                 vols[i], 0, int(ids[i]), int(ids[i]),
+                 vels[i, 0], vels[i, 1], vels[i, 2]]
+                for i in range(nca)
+            ]
+            write_cell_csv(self.outdir, self.iter, ct.name, rows)
+
+    def save_checkpoint(self, directory: Optional[str] = None):
+        from .io import save_checkpoint
+
+        d = directory or os.path.join(self.outdir or ".", "checkpoint")
+        meta = {"iteration": self.iter, "dx": self.params.dx, "dt": self.params.dt}
+        return save_checkpoint(d, self.state, meta)
+
+    def load_checkpoint(self, directory: Optional[str] = None):
+        from .io import load_checkpoint
+
+        d = directory or os.path.join(self.outdir or ".", "checkpoint")
+        state, meta = load_checkpoint(d, dtype=self.dtype)
+        self._state = state
+        self.cell_states = list(state.cells)
+        self.iter = int(state.it)
+        self._dirty = True
+        return meta

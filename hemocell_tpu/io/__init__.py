@@ -1,0 +1,11 @@
+from .checkpoint import load_checkpoint, save_checkpoint
+from .hdf5io import write_cell_csv, write_cells_hdf5, write_fluid_hdf5, zero_pad
+
+__all__ = [
+    "load_checkpoint",
+    "save_checkpoint",
+    "write_cell_csv",
+    "write_cells_hdf5",
+    "write_fluid_hdf5",
+    "zero_pad",
+]

@@ -1,0 +1,66 @@
+"""Checkpoint / resume.
+
+Replaces Palabos ``parallelIO::save/load`` + checkpoint.xml
+(reference: core/hemoCellFields.cpp:240-319, core/hemoCell.cpp:199-219):
+full state = fluid populations + per-type cell arrays + iteration counter,
+written as a compressed npz, with the reference's ``.old`` double-buffer
+semantics (the previous checkpoint is kept until the new one is complete).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..dynamics import SimState
+from ..cells.state import CellTypeState
+
+
+def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "checkpoint.npz")
+    tmp = path + ".tmp"
+    arrays = {"f": np.asarray(state.f), "it": np.asarray(state.it)}
+    for k, cs in enumerate(state.cells):
+        for fieldname in CellTypeState._fields:
+            arrays[f"cell{k}_{fieldname}"] = np.asarray(getattr(cs, fieldname))
+    arrays["n_types"] = np.asarray(len(state.cells))
+    with open(tmp, "wb") as fh:  # explicit handle: savez appends .npz to paths
+        np.savez_compressed(fh, **arrays)
+    # .old double buffer (hemoCellFields.cpp:290-303)
+    if os.path.exists(path):
+        os.replace(path, path + ".old")
+    os.replace(tmp, path)
+    if meta is not None:
+        with open(os.path.join(directory, "checkpoint.json"), "w") as fh:
+            json.dump(meta, fh, indent=2)
+    return path
+
+
+def load_checkpoint(directory: str, dtype=None):
+    path = os.path.join(directory, "checkpoint.npz")
+    with np.load(path) as data:
+        import jax.numpy as jnp
+
+        n_types = int(data["n_types"])
+        cells = []
+        for k in range(n_types):
+            fields = {}
+            for fieldname in CellTypeState._fields:
+                arr = data[f"cell{k}_{fieldname}"]
+                if dtype is not None and arr.dtype.kind == "f":
+                    fields[fieldname] = jnp.asarray(arr, dtype=dtype)
+                else:
+                    fields[fieldname] = jnp.asarray(arr)
+            cells.append(CellTypeState(**fields))
+        f = jnp.asarray(data["f"], dtype=dtype) if dtype else jnp.asarray(data["f"])
+        it = jnp.asarray(data["it"], jnp.int32)
+    meta = None
+    metapath = os.path.join(directory, "checkpoint.json")
+    if os.path.exists(metapath):
+        with open(metapath) as fh:
+            meta = json.load(fh)
+    return SimState(f=f, it=it, cells=tuple(cells)), meta

@@ -119,11 +119,29 @@ def _icosahedron() -> tuple[np.ndarray, np.ndarray]:
     return v, tris
 
 
-def icosphere(min_triangles: int) -> SurfaceMesh:
-    """Unit sphere by icosahedron midpoint subdivision until
-    num_triangles >= min_triangles (matches the reference's loop: 20, 80,
-    320, 1280, ... so min_triangles=600 yields 1280 triangles / 642 verts)."""
-    verts, tris = _icosahedron()
+def _octahedron() -> tuple[np.ndarray, np.ndarray]:
+    """Unit octahedron (the Palabos ``constructSphere`` base: subdividing it
+    gives 8, 32, 128, ... triangles — minNumTriangles=66 yields the 128-tri /
+    66-vertex platelet template the reference material XMLs assume)."""
+    v = np.array(
+        [
+            [1, 0, 0], [-1, 0, 0],
+            [0, 1, 0], [0, -1, 0],
+            [0, 0, 1], [0, 0, -1],
+        ],
+        dtype=np.float64,
+    )
+    tris = np.array(
+        [
+            [0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+            [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5],
+        ],
+        dtype=np.int32,
+    )
+    return v, tris
+
+
+def _subdivide_sphere(verts, tris, min_triangles):
     verts = list(verts)
     edge_mid: dict[tuple[int, int], int] = {}
 
@@ -145,16 +163,31 @@ def icosphere(min_triangles: int) -> SurfaceMesh:
             d = midpoint(a, b)
             e = midpoint(b, c)
             f = midpoint(c, a)
-            # same split as the reference: center tri + three corners
             new_tris += [[d, e, f], [a, d, f], [d, b, e], [f, e, c]]
         tris = np.array(new_tris, dtype=np.int32)
 
     mesh = SurfaceMesh(np.array(verts), np.asarray(tris, dtype=np.int32))
-    # Guarantee outward-facing winding (positive signed volume); everything
-    # downstream (volume force sign, patch normals) keys off this.
     if signed_volume(mesh.vertices, mesh.triangles) < 0:
         mesh = SurfaceMesh(mesh.vertices, mesh.triangles[:, ::-1].copy())
     return mesh
+
+
+def octasphere(min_triangles: int) -> SurfaceMesh:
+    """Octahedron-refined unit sphere (Palabos constructSphere counts:
+    8/32/128/512... triangles, 6/18/66/258... vertices)."""
+    v, t = _octahedron()
+    return _subdivide_sphere(v, t, min_triangles)
+
+
+def icosphere(min_triangles: int) -> SurfaceMesh:
+    """Unit sphere by icosahedron midpoint subdivision until
+    num_triangles >= min_triangles (matches the reference's loop: 20, 80,
+    320, 1280, ... so min_triangles=600 yields 1280 triangles / 642 verts)."""
+    verts, tris = _icosahedron()
+    # Outward winding guaranteed by _subdivide_sphere (positive signed
+    # volume); everything downstream (volume force sign, patch normals)
+    # keys off this.
+    return _subdivide_sphere(verts, tris, min_triangles)
 
 
 def signed_volume(vertices: np.ndarray, triangles: np.ndarray) -> float:
@@ -218,9 +251,11 @@ def ellipsoid_from_sphere(
     radius_lu: float, aspect_ratio: float, min_triangles: int = 66
 ) -> SurfaceMesh:
     """Ellipsoid (platelet) template, constructEllipsoidFromSphere
-    (meshGeneratingFunctions.hh:244-271).  Note the reference applies radius
-    inside the map (no second scale)."""
-    sphere = icosphere(min_triangles)
+    (meshGeneratingFunctions.hh:244-271) with initialSphereShape=0 =
+    octahedron-refined sphere (constructMeshElement shape 6,
+    meshGeneratingFunctions.h:85-86).  The radius is applied inside the map
+    (no second scale)."""
+    sphere = octasphere(min_triangles)
     rot = euler_zxz(math.pi / 2, math.pi / 2, 0.0)
     pts = sphere.vertices @ rot.T
     pts = _sphere_to_ellipsoid(pts, radius_lu, aspect_ratio)
@@ -294,6 +329,29 @@ def _index_soup(tris_xyz: np.ndarray, decimals: int = 8):
     tri_idx = rank[inverse].reshape(-1, 3).astype(np.int32)
     verts = flat[np.sort(first_idx)]
     return verts, tri_idx
+
+
+def mirror_inner_edges(mesh: SurfaceMesh, axis: int = 1, eps: float = 1e-6):
+    """Transverse stiffening pairs for a platelet: each vertex pairs with its
+    mirror image across the disc plane (the reference hard-codes these pairs
+    in PLT_template.xml for the Palabos vertex ordering; here they are
+    derived geometrically, which is ordering-independent).  axis=1 because
+    the template's flattened axis ends along y."""
+    v = mesh.vertices
+    pairs = []
+    used = set()
+    for i in range(len(v)):
+        if i in used or abs(v[i, axis]) < eps:
+            continue
+        target = v[i].copy()
+        target[axis] = -target[axis]
+        d = np.linalg.norm(v - target, axis=1)
+        j = int(np.argmin(d))
+        if d[j] < eps and j not in used and j != i:
+            pairs.append((min(i, j), max(i, j)))
+            used.add(i)
+            used.add(j)
+    return np.array(sorted(pairs), dtype=np.int32)
 
 
 def construct_mesh(

@@ -1,0 +1,96 @@
+"""IO tests: HDF5 layout compatibility, CSV header, checkpoint round-trip,
+voxelizer geometry."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from hemocell_tpu.config.defaults import FLAG_FLUID, FLAG_WALL
+from hemocell_tpu.dynamics import build_runner
+from hemocell_tpu.io import load_checkpoint, save_checkpoint, write_fluid_hdf5
+from hemocell_tpu.io.hdf5io import write_cell_csv, write_cells_hdf5, zero_pad
+from hemocell_tpu.presets import rbc_suspension
+
+
+def test_zero_pad():
+    assert zero_pad(42) == "000000000042"  # width 12, genericFunctions.cpp:112
+
+
+def test_fluid_hdf5_layout(tmp_path):
+    fields = {
+        "Velocity": np.random.rand(8, 6, 4, 3).astype(np.float32),
+        "Density": np.random.rand(8, 6, 4).astype(np.float32),
+    }
+    path = write_fluid_hdf5(str(tmp_path), 1000, 5e-7, 1e-7, fields)
+    assert path.endswith("Fluid.000000001000.p.0.h5")
+    with h5py.File(path) as f:
+        # reversed (z,y,x) + envelope-2 convention
+        assert list(f.attrs["subdomainSize"]) == [6, 8, 10]
+        assert f["Velocity"].shape == (6, 8, 10, 3)
+        assert f["Density"].shape == (6, 8, 10, 1)
+        assert f.attrs["dx"] == 5e-7
+        assert "relativePosition" in f.attrs and "dxdydz" in f.attrs
+
+
+def test_cells_hdf5(tmp_path):
+    pos = np.random.rand(20, 3).astype(np.float32)
+    tris = np.arange(12, dtype=np.int32).reshape(4, 3)
+    path = write_cells_hdf5(str(tmp_path), 5, "RBC", pos, triangles=tris)
+    with h5py.File(path) as f:
+        assert f["Position"].shape == (20, 3)
+        assert f["Triangles"].shape == (4, 3)
+        assert f.attrs["numberOfParticles"] == 20
+
+
+def test_cell_csv(tmp_path):
+    path = write_cell_csv(str(tmp_path), 7, "RBC", [[1, 2, 3, 4, 5, 0, 0, 0, 6, 7, 8]])
+    text = open(path).read().splitlines()
+    assert text[0] == (
+        "X,Y,Z,area,volume,atomic_block,cellId,baseCellId,"
+        "velocity_x,velocity_y,velocity_z"
+    )
+    assert len(text) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, state, _ = rbc_suspension(shape=(16, 16, 16), n_cells=1, repulsion=False)
+    run = build_runner(cfg)
+    state = run(state, 3)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state, {"iteration": 3})
+    loaded, meta = load_checkpoint(d)
+    assert meta["iteration"] == 3
+    assert int(loaded.it) == 3
+    np.testing.assert_array_equal(np.asarray(loaded.f), np.asarray(state.f))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.cells[0].pos), np.asarray(state.cells[0].pos)
+    )
+    # double buffer: second save keeps .old
+    save_checkpoint(d, loaded)
+    assert os.path.exists(os.path.join(d, "checkpoint.npz.old"))
+    # resumed run continues identically
+    out_a = run(state, 2)
+    out_b = run(loaded, 2)
+    np.testing.assert_array_equal(np.asarray(out_a.f), np.asarray(out_b.f))
+
+
+def test_voxelize_tube():
+    from hemocell_tpu.utils.voxelize import voxelize_stl
+
+    flags, info = voxelize_stl(
+        "/root/reference/examples/pipeflow/tube.stl", 50, 1
+    )
+    assert flags.shape[1] == flags.shape[2]
+    # circular lumen of diameter ~50
+    area = (flags[flags.shape[0] // 2] == FLAG_FLUID).sum()
+    r = np.sqrt(area / np.pi)
+    assert 23.5 < r < 25.5
+    # open ends
+    assert (flags[0] == FLAG_FLUID).sum() > 0
+    assert (flags[-1] == FLAG_FLUID).sum() > 0
+    # walls exist
+    assert (flags == FLAG_WALL).sum() > 0
