@@ -73,6 +73,9 @@ class StepConfig:
     boundary_repulsion_every: int = 1
     boundary_mask: Optional[jnp.ndarray] = None  # uint8 [X,Y,Z]
     dtype: Any = jnp.float32
+    # fluid kernel: None = auto (fused Pallas kernel on TPU, jnp elsewhere);
+    # the sharded runner forces False until the shard_map halo path lands
+    use_pallas: Optional[bool] = None
 
 
 def _every(it, k, fn, operand, fallback):
@@ -172,9 +175,19 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                                                         dtype=cfg.dtype)
 
         # ---- 3: fluid collide + stream ------------------------------------
-        f_new = lbm.stream_collide(
-            state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
-        )
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from .fluid.pallas_lbm import stream_collide_pallas
+
+            f_new = stream_collide_pallas(
+                state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
+            )
+        else:
+            f_new = lbm.stream_collide(
+                state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
+            )
 
         # ---- 4: interpolate fluid velocity to vertices --------------------
         if cells:

@@ -1,0 +1,266 @@
+"""Fused D3Q19 stream-collide Pallas TPU kernel.
+
+The jnp reference path (fluid/lbm.py) materialises 19 rolled copies of the
+population array per step; this kernel computes ``stream(collide(f))`` in one
+pass over X-slabs, reading each population value ~(TX+2)/TX times and writing
+it once — the hot loop of the framework (reference equivalent:
+``lattice->collideAndStream()``, core/hemoCell.cpp:317).
+
+Design:
+  * f laid out [19, X, Y, Z]; grid over X in slabs of TX rows.  Each program
+    fetches the slab plus one halo row on each side (three BlockSpecs over
+    the same array: halo-low row, body, halo-high row; periodic wrap via
+    modular index maps — the TPU-native replacement for the reference's MPI
+    envelope exchange at the single-chip level).
+  * collide (BGK + Guo forcing + bounce-back / moving-velocity masks) is
+    evaluated on the extended slab, then each direction is shifted by its
+    lattice velocity: X-shift = static row slice of the extended slab,
+    Y/Z-shift = pltpu.roll (periodic within the full cross-section).
+  * bit-identical math to lbm.stream_collide (same formulas, f32).
+
+Restrictions: single-chip arrays (shard_map integration comes separately),
+scalar omega + optional per-node omega, X % TX == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.defaults import FLAG_FLUID, FLAG_VELOCITY, FLAG_WALL
+from . import d3q19
+
+_C = d3q19.C  # [19, 3] host ints
+_W = d3q19.W
+_OPP = d3q19.OPP
+
+
+def _csum(terms):
+    """Signed sum of a list of (coeff, array) with coeff in {-1, +1}."""
+    acc = None
+    for s, a in terms:
+        t = -a if s < 0 else a
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _collide_local(f, force, omega, flags, bc_velocity):
+    """BGK+Guo+masks on a [19, S, Y, Z] slab; same math as lbm.collide but
+    fully unrolled with python-scalar lattice constants (Pallas kernels
+    cannot capture device-array constants)."""
+    # macroscopic moments
+    rho = f[0]
+    for q in range(1, 19):
+        rho = rho + f[q]
+    mom = []
+    for i in range(3):
+        mom.append(
+            _csum([(int(_C[q, i]), f[q]) for q in range(19) if _C[q, i] != 0])
+            + 0.5 * force[i]
+        )
+    inv_rho = 1.0 / rho
+    u = [m * inv_rho for m in mom]
+    usq = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+
+    is_wall = flags == FLAG_WALL
+    if bc_velocity is not None:
+        is_vel = flags == FLAG_VELOCITY
+
+    om_c = 1.0 - 0.5 * omega
+    outs = [None] * 19
+    for q in range(19):
+        cx, cy, cz = int(_C[q, 0]), int(_C[q, 1]), int(_C[q, 2])
+        wq = float(_W[q])
+        cu = _csum(
+            [(c, u[i]) for i, c in enumerate((cx, cy, cz)) if c != 0]
+        ) if (cx or cy or cz) else None
+        cF = _csum(
+            [(c, force[i]) for i, c in enumerate((cx, cy, cz)) if c != 0]
+        ) if (cx or cy or cz) else None
+        uF = u[0] * force[0] + u[1] * force[1] + u[2] * force[2]
+        if cu is None:
+            feq = wq * rho * (1.0 - 1.5 * usq)
+            S = wq * (-3.0 * uF)
+        else:
+            feq = wq * rho * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+            S = wq * (3.0 * (cF - uF) + 9.0 * cu * cF)
+        f_bgk = f[q] - omega * (f[q] - feq) + om_c * S
+
+        f_bb = f[int(_OPP[q])]
+        out = jnp.where(is_wall, f_bb, f_bgk)
+        if bc_velocity is not None:
+            if cu is None:
+                f_mb = f_bb
+            else:
+                cu_w = _csum(
+                    [
+                        (c, bc_velocity[i])
+                        for i, c in enumerate((cx, cy, cz))
+                        if c != 0
+                    ]
+                )
+                f_mb = f_bb + (6.0 * wq) * cu_w
+            out = jnp.where(is_vel, f_mb, out)
+        outs[q] = out
+    return outs
+
+
+def _kernel(tx, has_bc, omega_is_field, *refs):
+    if has_bc and omega_is_field:
+        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
+         flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi,
+         bc_lo, bc_body, bc_hi, out) = refs
+    elif has_bc:
+        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
+         flags_lo, flags_body, flags_hi,
+         bc_lo, bc_body, bc_hi, omega_ref, out) = refs
+    elif omega_is_field:
+        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
+         flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi, out) = refs
+    else:
+        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
+         flags_lo, flags_body, flags_hi, omega_ref, out) = refs
+
+    f_ext = jnp.concatenate([f_lo[:], f_body[:], f_hi[:]], axis=1)
+    force_ext = jnp.concatenate([force_lo[:], force_body[:], force_hi[:]], axis=1)
+    flags_ext = jnp.concatenate(
+        [flags_lo[:], flags_body[:], flags_hi[:]], axis=0
+    )
+    if omega_is_field:
+        omega = jnp.concatenate([om_lo[:], om_body[:], om_hi[:]], axis=0)
+    else:
+        omega = omega_ref[0]
+    bc_ext = None
+    if has_bc:
+        bc_ext = jnp.concatenate([bc_lo[:], bc_body[:], bc_hi[:]], axis=1)
+
+    post = _collide_local(f_ext, force_ext, omega, flags_ext, bc_ext)
+
+    # pull: out[q, x] = post[q][x - cx] with x in [1, tx] of the extended
+    # slab; Y/Z are full so periodic shift = roll.
+    for q in range(19):
+        cx, cy, cz = int(_C[q, 0]), int(_C[q, 1]), int(_C[q, 2])
+        src = post[q][1 - cx : 1 - cx + tx]
+        ny, nz = src.shape[1], src.shape[2]
+        if cy:
+            src = pltpu.roll(src, shift=cy % ny, axis=1)
+        if cz:
+            src = pltpu.roll(src, shift=cz % nz, axis=2)
+        out[q] = src
+
+
+def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
+    """Largest divisor of X whose extended working set fits VMEM."""
+    # bytes per extended slab row: (19 f + 19 post + 3 force + 1 flags) * 4
+    per_row = (19 * 2 + 3 + 1 + 3) * Y * Z * 4
+    best = 1
+    for tx in range(1, X + 1):
+        if X % tx == 0 and (tx + 2) * per_row < vmem_budget:
+            best = tx
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tx", "interpret")
+)
+def stream_collide_pallas(
+    f, force, omega, flags, bc_velocity=None, tx=None, interpret=None
+):
+    """Drop-in fused replacement for lbm.stream_collide (single shard)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Q, X, Y, Z = f.shape
+    if tx is None:
+        tx = _pick_tx(X, Y, Z)
+    n = X // tx
+    assert X % tx == 0, (X, tx)
+
+    dtype = f.dtype
+    flags_i = flags.astype(jnp.int32)
+    omega_arr = jnp.asarray(omega, dtype)
+    omega_is_field = omega_arr.ndim == 3
+    has_bc = bc_velocity is not None
+
+    # --- specs: body block + 1-row halos with modular index maps ----------
+    def body4(i):
+        return (0, i, 0, 0)
+
+    def lo4(i):
+        return (0, (i * tx - 1) % X, 0, 0)
+
+    def hi4(i):
+        return (0, ((i + 1) * tx) % X, 0, 0)
+
+    def body3(i):
+        return (i, 0, 0)
+
+    def lo3(i):
+        return ((i * tx - 1) % X, 0, 0)
+
+    def hi3(i):
+        return (((i + 1) * tx) % X, 0, 0)
+
+    V = pltpu.VMEM
+    f_specs = [
+        pl.BlockSpec((Q, 1, Y, Z), lo4, memory_space=V),
+        pl.BlockSpec((Q, tx, Y, Z), body4, memory_space=V),
+        pl.BlockSpec((Q, 1, Y, Z), hi4, memory_space=V),
+    ]
+    force_specs = [
+        pl.BlockSpec((3, 1, Y, Z), lo4, memory_space=V),
+        pl.BlockSpec((3, tx, Y, Z), body4, memory_space=V),
+        pl.BlockSpec((3, 1, Y, Z), hi4, memory_space=V),
+    ]
+    flags_specs = [
+        pl.BlockSpec((1, Y, Z), lo3, memory_space=V),
+        pl.BlockSpec((tx, Y, Z), body3, memory_space=V),
+        pl.BlockSpec((1, Y, Z), hi3, memory_space=V),
+    ]
+
+    in_specs = f_specs + force_specs + flags_specs
+    args = [f, f, f, force, force, force, flags_i, flags_i, flags_i]
+
+    if omega_is_field:
+        in_specs += [
+            pl.BlockSpec((1, Y, Z), lo3, memory_space=V),
+            pl.BlockSpec((tx, Y, Z), body3, memory_space=V),
+            pl.BlockSpec((1, Y, Z), hi3, memory_space=V),
+        ]
+        args += [omega_arr, omega_arr, omega_arr]
+    if has_bc:
+        in_specs += [
+            pl.BlockSpec((3, 1, Y, Z), lo4, memory_space=V),
+            pl.BlockSpec((3, tx, Y, Z), body4, memory_space=V),
+            pl.BlockSpec((3, 1, Y, Z), hi4, memory_space=V),
+        ]
+        args += [bc_velocity, bc_velocity, bc_velocity]
+    if not omega_is_field:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [omega_arr.reshape(1)]
+
+    out_spec = pl.BlockSpec((Q, tx, Y, Z), body4, memory_space=V)
+
+    kernel = functools.partial(_kernel, tx, has_bc, omega_is_field)
+    flops_per_node = 350  # rough BGK+Guo cost for the scheduler
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_node * X * Y * Z,
+            bytes_accessed=(19 * 2 + 3 + 1) * X * Y * Z * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)

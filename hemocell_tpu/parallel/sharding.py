@@ -88,7 +88,8 @@ def shard_step_config(cfg: StepConfig, mesh: Mesh) -> StepConfig:
     import dataclasses
 
     return dataclasses.replace(
-        cfg, flags=flags, bc_velocity=bc, omega=omega, boundary_mask=bmask
+        cfg, flags=flags, bc_velocity=bc, omega=omega, boundary_mask=bmask,
+        use_pallas=False,
     )
 
 

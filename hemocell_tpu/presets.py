@@ -52,13 +52,23 @@ def rbc_material(params: Parameters, num_triangles: int) -> dict:
     )
 
 
-def grid_centers(shape, spacing, max_cells, margin):
-    """Regular grid of cell centres inside the (periodic or walled) box."""
-    xs = np.arange(margin, shape[0] - margin + 1e-9, spacing[0])
-    ys = np.arange(margin, shape[1] - margin + 1e-9, spacing[1])
-    zs = np.arange(margin, shape[2] - margin + 1e-9, spacing[2])
-    pts = np.array([(x, y, z) for x in xs for y in ys for z in zs])
-    return pts[:max_cells]
+def grid_centers(shape, n_cells):
+    """Regular grid of n_cells centres inside the periodic box (cells may
+    slightly overlap at high hematocrit, like a dense packCells packing; the
+    capped forces keep the start-up stable)."""
+    per_axis = int(np.ceil(n_cells ** (1 / 3)))
+    pts = []
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                pts.append(
+                    (
+                        (i + 0.5) * shape[0] / per_axis,
+                        (j + 0.5) * shape[1] / per_axis,
+                        (k + 0.5) * shape[2] / per_axis,
+                    )
+                )
+    return np.array(pts[:n_cells])
 
 
 def rbc_suspension(
@@ -95,10 +105,7 @@ def rbc_suspension(
 
     # place cells on a grid with random orientations
     rng = np.random.default_rng(seed)
-    diam = 2 * 3.91e-6 / params.dx
-    margin = diam / 2 + 2
-    spacing = [max(diam * 0.95, s / max(1, int(s // (diam * 0.95)))) for s in shape]
-    centers = grid_centers(shape, spacing, n_cells, margin)
+    centers = grid_centers(shape, n_cells) if n_cells else np.zeros((0, 3))
     angles = rng.uniform(0, 2 * math.pi, size=(len(centers), 3))
     cells = place_cells(mesh.vertices, centers, angles)
 

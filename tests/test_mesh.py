@@ -74,8 +74,12 @@ def test_rbc_biconcave_dimple():
 
 
 def test_ellipsoid_platelet():
+    # octahedron-refined sphere (Palabos constructSphere): minNumTriangles=66
+    # -> 128 triangles / 66 vertices, the counts the reference PLT material
+    # XML assumes
     m = ellipsoid_from_sphere(2.5, 0.434782608696, 66)
-    assert m.num_triangles == 80
+    assert m.num_triangles == 128
+    assert m.num_vertices == 66
     ext = m.vertices.max(axis=0) - m.vertices.min(axis=0)
     np.testing.assert_allclose(ext[0], 5.0, rtol=0.02)
     np.testing.assert_allclose(ext[2], 5.0, rtol=0.02)
