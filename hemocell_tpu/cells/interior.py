@@ -1,0 +1,117 @@
+"""Interior viscosity: classify lattice nodes inside cell membranes and
+raise their relaxation time.
+
+TPU-native equivalent of the reference's octree raycast + dynamics swap
+(helper/interiorViscosity.{h,cpp}, helper/octree.{h,cpp},
+core/hemoCellParticleField.cpp:746-807): instead of recursive octrees and
+per-node dynamics objects, each cell's interior is found by a vectorised
+Möller–Trumbore ray-parity test over a fixed-size local box, and the result
+is an omega field (1/tau_interior inside, 1/tau outside) consumed by the
+masked collision kernel.
+
+All shapes are static: the local box edge ``box`` must cover the largest
+cell diameter; the per-cell test is lax.map-ed to bound memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _cell_inside_local(pos, tri, box):
+    """Inside-parity for one cell on a box^3 local grid anchored at
+    floor(min(pos)) - 1.  Rays along +x; crossing parity per column.
+
+    pos: [NV, 3] vertex positions (lattice units, unwrapped)
+    tri: [NT, 3] int32
+    Returns (anchor [3] int32, inside [box, box, box] bool).
+    """
+    anchor = jnp.floor(pos.min(axis=0)).astype(jnp.int32) - 1
+    local = pos - anchor.astype(pos.dtype)  # in [1, box-2] for a fitting cell
+    # irrational sub-voxel shift so rays never pass exactly through shared
+    # triangle edges/vertices (which would break crossing parity)
+    local = local + jnp.asarray(
+        [0.0, 2.347e-4 * 2 ** 0.5, 1.731e-4 * 3 ** 0.5], dtype=pos.dtype
+    )
+
+    v0 = local[tri[:, 0]]
+    e1 = local[tri[:, 1]] - v0
+    e2 = local[tri[:, 2]] - v0
+
+    ys = jnp.arange(box, dtype=pos.dtype)
+    zs = jnp.arange(box, dtype=pos.dtype)
+
+    hy = -e2[:, 2]
+    hz = e2[:, 1]
+    a = e1[:, 1] * hy + e1[:, 2] * hz
+    ok = jnp.abs(a) > 1e-12
+    inv_a = jnp.where(ok, 1.0 / jnp.where(ok, a, 1.0), 0.0)
+
+    sy = ys[None, :, None] - v0[:, 1][:, None, None]  # [NT, box, 1]
+    sz = zs[None, None, :] - v0[:, 2][:, None, None]  # [NT, 1, box]
+    u = (sy * hy[:, None, None] + sz * hz[:, None, None]) * inv_a[:, None, None]
+    sx = -v0[:, 0][:, None, None]
+    qx = sy * e1[:, 2][:, None, None] - sz * e1[:, 1][:, None, None]
+    qy = sz * e1[:, 0][:, None, None] - sx * e1[:, 2][:, None, None]
+    qz = sx * e1[:, 1][:, None, None] - sy * e1[:, 0][:, None, None]
+    vv = qx * inv_a[:, None, None]
+    tt = (
+        e2[:, 0][:, None, None] * qx
+        + e2[:, 1][:, None, None] * qy
+        + e2[:, 2][:, None, None] * qz
+    ) * inv_a[:, None, None]
+    hit = ok[:, None, None] & (u >= 0) & (vv >= 0) & (u + vv <= 1) & (tt > 0)
+
+    # node x inside iff crossings with tt > x are odd
+    xs = jnp.arange(box, dtype=pos.dtype)
+    # [NT, box(x), box(y), box(z)]
+    beyond = hit[:, None, :, :] & (tt[:, None, :, :] > xs[None, :, None, None])
+    count = jnp.sum(beyond.astype(jnp.int32), axis=0)
+    return anchor, (count % 2) == 1
+
+
+@partial(jax.jit, static_argnames=("shape", "box"))
+def interior_mask(pos, tri, alive, shape, box):
+    """Union of cell interiors on the periodic lattice.
+
+    pos: [NC, NV, 3]; tri [NT, 3]; alive [NC] bool.
+    Returns bool [X, Y, Z].
+    """
+    X, Y, Z = shape
+    shp = jnp.asarray(shape, jnp.int32)
+
+    def one(args):
+        p, a = args
+        anchor, inside = _cell_inside_local(p, tri, box)
+        return anchor, inside & a
+
+    anchors, insides = jax.lax.map(one, (pos, alive))
+
+    # scatter local boxes into the global mask (periodic wrap)
+    bx = jnp.arange(box)
+    grid = jnp.stack(
+        jnp.meshgrid(bx, bx, bx, indexing="ij"), axis=-1
+    )  # [box,box,box,3]
+    mask = jnp.zeros((X, Y, Z), dtype=jnp.int32)
+
+    def body(k, mask):
+        nodes = jnp.mod(anchors[k][None, None, None, :] + grid, shp)
+        return mask.at[
+            nodes[..., 0], nodes[..., 1], nodes[..., 2]
+        ].max(insides[k].astype(jnp.int32))
+
+    mask = jax.lax.fori_loop(0, pos.shape[0], body, mask)
+    return mask > 0
+
+
+def omega_field_from_mask(mask, omega_bulk, omega_interior):
+    """Per-node relaxation frequency (hemoCellField.cpp:100 tau mapping)."""
+    return jnp.where(mask, omega_interior, omega_bulk)
+
+
+def interior_tau(viscosity_ratio: float, tau: float) -> float:
+    """tau_int = ratio*(tau-0.5)+0.5 (reference: core/hemoCellField.cpp:100)."""
+    return viscosity_ratio * (tau - 0.5) + 0.5

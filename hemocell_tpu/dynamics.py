@@ -38,6 +38,12 @@ class SimState(NamedTuple):
     f: jnp.ndarray  # [19, X, Y, Z]
     it: jnp.ndarray  # int32 scalar
     cells: tuple  # tuple[CellTypeState, ...]
+    # optional CEPAC scalar advection-diffusion populations [19, X, Y, Z]
+    # (reference: core/hemoCellFields.cpp:113-139)
+    cepac: Any = None
+    # optional per-node relaxation frequency (interior viscosity,
+    # reference: helper/interiorViscosity.{h,cpp})
+    omega_field: Any = None
 
 
 @dataclass
@@ -50,6 +56,9 @@ class TypeConfig:
     material: dict  # float coefficients
     material_every: int = 1  # stepMaterialEvery (timescale)
     ext_force: Optional[jnp.ndarray] = None  # [NC, NV, 3] static external
+    # interior viscosity (None = off): omega inside this type's membranes
+    omega_interior: Optional[float] = None
+    interior_box: int = 24  # local raycast box edge (>= cell diameter + 2)
 
 
 @dataclass
@@ -76,6 +85,13 @@ class StepConfig:
     # fluid kernel: None = auto (fused Pallas kernel on TPU, jnp elsewhere);
     # the sharded runner forces False until the shard_map halo path lands
     use_pallas: Optional[bool] = None
+    # CEPAC advection-diffusion field (enabled when cepac_tau is set)
+    cepac_tau: Optional[float] = None
+    cepac_dirichlet_mask: Optional[jnp.ndarray] = None  # uint8 [X,Y,Z]
+    cepac_dirichlet_value: Optional[jnp.ndarray] = None  # [X,Y,Z]
+    # interior viscosity recompute period (0 = disabled;
+    # reference: interiorViscosityTimescale)
+    interior_every: int = 0
 
 
 def _every(it, k, fn, operand, fallback):
@@ -174,6 +190,31 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             force_field = force_field + coupling.spread(ftot, idx, w, shape,
                                                         dtype=cfg.dtype)
 
+        # ---- 2b: interior viscosity omega field ---------------------------
+        omega = cfg.omega
+        omega_field_new = state.omega_field
+        if cfg.interior_every and state.omega_field is not None:
+            from .cells.interior import interior_mask
+
+            def _recompute(_):
+                om = jnp.full(shape, cfg.omega, dtype=cfg.dtype)
+                for tc, cs in zip(cfg.types, cells):
+                    if tc.omega_interior is None:
+                        continue
+                    # unwrapped positions: the local-box anchor needs a
+                    # coherent min; the node scatter wraps periodically
+                    m = interior_mask(
+                        cs.pos, tc.topo["tri"], cs.alive, shape,
+                        tc.interior_box,
+                    )
+                    om = jnp.where(m, tc.omega_interior, om)
+                return om
+
+            omega_field_new = _every(
+                it, cfg.interior_every, _recompute, None, state.omega_field
+            )
+            omega = omega_field_new
+
         # ---- 3: fluid collide + stream ------------------------------------
         use_pallas = cfg.use_pallas
         if use_pallas is None:
@@ -182,11 +223,22 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             from .fluid.pallas_lbm import stream_collide_pallas
 
             f_new = stream_collide_pallas(
-                state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
+                state.f, force_field, omega, cfg.flags, cfg.bc_velocity
             )
         else:
             f_new = lbm.stream_collide(
-                state.f, force_field, cfg.omega, cfg.flags, cfg.bc_velocity
+                state.f, force_field, omega, cfg.flags, cfg.bc_velocity
+            )
+
+        # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
+        cepac_new = state.cepac
+        if cfg.cepac_tau is not None and state.cepac is not None:
+            from .fluid.advection_diffusion import ad_stream_collide
+
+            _, u_ad = lbm.macroscopic(f_new, force_field)
+            cepac_new = ad_stream_collide(
+                state.cepac, u_ad, cfg.cepac_tau,
+                cfg.cepac_dirichlet_mask, cfg.cepac_dirichlet_value,
             )
 
         # ---- 4: interpolate fluid velocity to vertices --------------------
@@ -228,7 +280,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
             cells[k] = cs._replace(force=force)
 
-        return SimState(f=f_new, it=it + 1, cells=tuple(cells))
+        return SimState(f=f_new, it=it + 1, cells=tuple(cells),
+                        cepac=cepac_new, omega_field=omega_field_new)
 
     return step
 
@@ -245,6 +298,15 @@ def build_runner(cfg: StepConfig):
 
 
 def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
-                      rho0=1.0, u0=(0.0, 0.0, 0.0)) -> SimState:
+                      rho0=1.0, u0=(0.0, 0.0, 0.0), cepac0=None) -> SimState:
     f = lbm.initial_state(cfg.shape, rho0=rho0, u0=u0, dtype=cfg.dtype)
-    return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states))
+    cepac = None
+    if cfg.cepac_tau is not None:
+        from .fluid.advection_diffusion import ad_initial_state
+
+        cepac = ad_initial_state(cfg.shape, conc0=cepac0 or 0.0, dtype=cfg.dtype)
+    omega_field = None
+    if cfg.interior_every:
+        omega_field = jnp.full(cfg.shape, cfg.omega, dtype=cfg.dtype)
+    return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states),
+                    cepac=cepac, omega_field=omega_field)

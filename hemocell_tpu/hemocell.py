@@ -297,7 +297,8 @@ class HemoCell:
         else:
             # keep fluid + iteration, adopt (possibly new) cell states
             self._state = SimState(
-                f=self._state.f, it=self._state.it, cells=tuple(self.cell_states)
+                f=self._state.f, it=self._state.it,
+                cells=tuple(self.cell_states), cepac=self._state.cepac,
             )
         self._dirty = False
 

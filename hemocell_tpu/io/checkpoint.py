@@ -24,6 +24,8 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
     path = os.path.join(directory, "checkpoint.npz")
     tmp = path + ".tmp"
     arrays = {"f": np.asarray(state.f), "it": np.asarray(state.it)}
+    if state.cepac is not None:
+        arrays["cepac"] = np.asarray(state.cepac)
     for k, cs in enumerate(state.cells):
         for fieldname in CellTypeState._fields:
             arrays[f"cell{k}_{fieldname}"] = np.asarray(getattr(cs, fieldname))
@@ -58,9 +60,16 @@ def load_checkpoint(directory: str, dtype=None):
             cells.append(CellTypeState(**fields))
         f = jnp.asarray(data["f"], dtype=dtype) if dtype else jnp.asarray(data["f"])
         it = jnp.asarray(data["it"], jnp.int32)
+        cepac = None
+        if "cepac" in data:
+            cepac = (
+                jnp.asarray(data["cepac"], dtype=dtype)
+                if dtype
+                else jnp.asarray(data["cepac"])
+            )
     meta = None
     metapath = os.path.join(directory, "checkpoint.json")
     if os.path.exists(metapath):
         with open(metapath) as fh:
             meta = json.load(fh)
-    return SimState(f=f, it=it, cells=tuple(cells)), meta
+    return SimState(f=f, it=it, cells=tuple(cells), cepac=cepac), meta

@@ -35,6 +35,9 @@ def voxelize_stl(
     # DEFscaledMesh: ref_dir extent spans ref_dir_n lattice spacings
     scale = float(ref_dir_n) / extent[ref_dir]
     tris = (tris - lo) * scale + margin  # shift into [margin, margin+extent*scale]
+    # irrational sub-voxel shift: rays through exactly-shared triangle edges
+    # would break crossing parity
+    tris = tris + np.array([0.0, 2.347e-4 * 2 ** 0.5, 1.731e-4 * 3 ** 0.5])
     ext_lu = extent * scale
     shape = tuple(int(np.ceil(e)) + 2 * margin + 1 for e in ext_lu)
 

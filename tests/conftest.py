@@ -21,7 +21,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# sitecustomize imports jax before this file runs, so env vars alone are
+# ignored — the config entries must be set directly.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 import pytest  # noqa: E402
