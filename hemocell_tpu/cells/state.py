@@ -32,6 +32,9 @@ class CellTypeState(NamedTuple):
     force: jnp.ndarray
     force_repulsion: jnp.ndarray
     alive: jnp.ndarray
+    # tagged for solidification next solidify step (reference:
+    # HemoCellParticle solidify flag, core/hemoCellParticleField.cpp:1018+)
+    solidify: jnp.ndarray = None
 
     @property
     def num_cells(self):
@@ -47,7 +50,8 @@ def make_cell_state(positions: np.ndarray, dtype=jnp.float32) -> CellTypeState:
     pos = jnp.asarray(positions, dtype=dtype)
     z = jnp.zeros_like(pos)
     alive = jnp.ones(pos.shape[0], dtype=bool)
-    return CellTypeState(pos, z, z, z, alive)
+    solidify = jnp.zeros(pos.shape[0], dtype=bool)
+    return CellTypeState(pos, z, z, z, alive, solidify)
 
 
 def place_cells(

@@ -44,6 +44,10 @@ class SimState(NamedTuple):
     # optional per-node relaxation frequency (interior viscosity,
     # reference: helper/interiorViscosity.{h,cpp})
     omega_field: Any = None
+    # mutable node flags + binding-site mask (solidify mechanics,
+    # reference: helper/bindingField.{h,cpp}, pltSimpleModel.cpp:211-248)
+    flags_state: Any = None
+    binding_mask: Any = None
 
 
 @dataclass
@@ -59,6 +63,11 @@ class TypeConfig:
     # interior viscosity (None = off): omega inside this type's membranes
     omega_interior: Optional[float] = None
     interior_box: int = 24  # local raycast box edge (>= cell diameter + 2)
+    # solidify mechanics (platelet binding; reference material XML
+    # distanceThreshold / shearThreshold)
+    solidify: bool = False
+    distance_threshold: float = 0.0
+    shear_threshold: float = 0.0
 
 
 @dataclass
@@ -92,6 +101,8 @@ class StepConfig:
     # interior viscosity recompute period (0 = disabled;
     # reference: interiorViscosityTimescale)
     interior_every: int = 0
+    # solidification period (0 = disabled; reference: solidifyTimescale)
+    solidify_every: int = 0
 
 
 def _every(it, k, fn, operand, fallback):
@@ -113,6 +124,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
     def step(state: SimState) -> SimState:
         it = state.it
         cells = list(state.cells)
+        # node flags: static unless solidification mutates them
+        flags = (
+            state.flags_state
+            if (cfg.solidify_every and state.flags_state is not None)
+            else cfg.flags
+        )
 
         # ---- flatten vertices across types --------------------------------
         pos_parts, act_parts, gid_parts, ftot_parts = [], [], [], []
@@ -175,20 +192,58 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 bf = bf[:, None, None, None]
             force_field = force_field + bf
 
-        stencils = []  # reuse for interpolation (reference caches the kernel)
-        for tc, cs in zip(cfg.types, cells):
-            nc, nv = cs.pos.shape[0], cs.pos.shape[1]
-            p = jnp.mod(cs.pos.reshape(-1, 3), fshape[None, :])
-            amask = jnp.repeat(cs.alive.astype(cfg.dtype), nv)
-            idx, w = coupling.stencil(p, cfg.flags, weight_mask=amask)
-            stencils.append((idx, w))
-            # spread total = constitutive + repulsion, capped
+        # One padded flat vertex batch for the whole IBM exchange: TPU
+        # gathers need 128-aligned batches, and the binned dense spread
+        # replaces XLA's serialised scatter.
+        idx = w = None
+        if pos_flat is not None:
+            P0 = pos_flat.shape[0]
+            P_pad = -(-P0 // 512) * 512
+            pad = P_pad - P0
+            pos_pad = jnp.pad(pos_flat, ((0, pad), (0, 0)),
+                              constant_values=0.5)
+            act_pad = jnp.pad(active, (0, pad))
+            pos_w = jnp.mod(pos_pad, fshape[None, :])
+            # kernel computed once per step, reused for interpolation
+            # (the reference caches kernelWeights the same way,
+            #  core/immersedBoundaryMethod.h:62-138)
+            idx, w, wtot = coupling.stencil(
+                pos_w, flags, weight_mask=act_pad, return_total=True
+            )
+
+            # spread total = constitutive(capped) + repulsion
             # (core/hemoCellParticleField.cpp:841-863)
-            ftot = coupling.cap_force(
-                cs.force.reshape(-1, 3), cfg.f_limit
-            ) + cs.force_repulsion.reshape(-1, 3)
-            force_field = force_field + coupling.spread(ftot, idx, w, shape,
-                                                        dtype=cfg.dtype)
+            ftot_parts = [
+                (
+                    coupling.cap_force(cs.force.reshape(-1, 3), cfg.f_limit)
+                    + cs.force_repulsion.reshape(-1, 3)
+                )
+                for cs in cells
+            ]
+            ftot = jnp.concatenate(ftot_parts)
+            ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
+
+            use_fast = cfg.use_pallas
+            if use_fast is None:
+                use_fast = jax.default_backend() == "tpu"
+            if use_fast:
+                from .ibm.fast_spread import binned_spread, slab_capacity
+
+                # renormalised deposit: scale by 1/(fluid weight total) and
+                # mask the field to fluid nodes — identical to the
+                # per-vertex boundary-aware renormalisation
+                fdep = ftot * (
+                    act_pad / jnp.maximum(wtot, 1e-30)
+                )[:, None]
+                field, _ = binned_spread(
+                    pos_pad, fdep, shape, slab_capacity(P_pad, shape[0])
+                )
+                fluid_mask = (flags == 0).astype(cfg.dtype)
+                force_field = force_field + field * fluid_mask[None]
+            else:
+                force_field = force_field + coupling.spread(
+                    ftot, idx, w, shape, dtype=cfg.dtype
+                )
 
         # ---- 2b: interior viscosity omega field ---------------------------
         omega = cfg.omega
@@ -223,11 +278,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             from .fluid.pallas_lbm import stream_collide_pallas
 
             f_new = stream_collide_pallas(
-                state.f, force_field, omega, cfg.flags, cfg.bc_velocity
+                state.f, force_field, omega, flags, cfg.bc_velocity
             )
         else:
             f_new = lbm.stream_collide(
-                state.f, force_field, omega, cfg.flags, cfg.bc_velocity
+                state.f, force_field, omega, flags, cfg.bc_velocity
             )
 
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
@@ -244,22 +299,115 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # ---- 4: interpolate fluid velocity to vertices --------------------
         if cells:
             _, u = lbm.macroscopic(f_new, force_field)
-            for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
+
+            def _interp(_unused):
+                return coupling.interpolate(u, idx, w)
+
+            vel_fallback = jnp.pad(
+                jnp.concatenate([cs.vel.reshape(-1, 3) for cs in cells]),
+                ((0, pad), (0, 0)),
+            )
+            vel_flat = _every(
+                it, cfg.particle_every, _interp, None, vel_fallback
+            )
+            offset = 0
+            for k, cs in enumerate(cells):
                 nc, nv = cs.pos.shape[0], cs.pos.shape[1]
-                idx, w = stencils[k]
+                cnt = nc * nv
+                cells[k] = cs._replace(
+                    vel=vel_flat[offset : offset + cnt].reshape(nc, nv, 3)
+                )
+                offset += cnt
 
-                def _interp(_unused, idx=idx, w=w, nc=nc, nv=nv):
-                    return coupling.interpolate(u, idx, w).reshape(nc, nv, 3)
+        # ---- 4b: solidify mechanics ---------------------------------------
+        flags_new = state.flags_state
+        binding_new = state.binding_mask
+        if cfg.solidify_every and state.flags_state is not None:
+            from .cells.interior import interior_mask
+            from .fluid.tresca import tresca_field
 
-                vel = _every(it, cfg.particle_every, _interp, None, cs.vel)
-                cells[k] = cs._replace(vel=vel)
+            def _solidify(args):
+                flags_s, binding, cell_list = args
+                cell_list = list(cell_list)
+                # phase A (solidifyMechanics, pltSimpleModel.cpp:211-248):
+                # cells tagged last round harden: interior -> bounce-back +
+                # binding sites; the cell is removed
+                for k, (tc, cs) in enumerate(zip(cfg.types, cell_list)):
+                    if not tc.solidify:
+                        continue
+                    marked = cs.solidify & cs.alive
+                    interior = interior_mask(
+                        cs.pos, tc.topo["tri"], marked, shape, tc.interior_box
+                    )
+                    interior = interior & (flags_s == 0)
+                    flags_s = jnp.where(
+                        interior, jnp.uint8(1), flags_s
+                    )
+                    binding = binding | interior
+                    cell_list[k] = cs._replace(
+                        alive=cs.alive & ~marked,
+                        solidify=cs.solidify & ~marked,
+                    )
+                # phase B (solidifyCells, hemoCellParticleField.cpp:1018-1070):
+                # vertices near a binding site under sufficient Tresca shear
+                # tag their cell
+                tresca = jnp.abs(
+                    tresca_field(f_new, force_field, omega) / 1e-7
+                )
+                nbr = jnp.asarray(
+                    np.array(
+                        [
+                            [i, j, k]
+                            for i in (-1, 0, 1)
+                            for j in (-1, 0, 1)
+                            for k in (-1, 0, 1)
+                        ],
+                        dtype=np.int32,
+                    )
+                )
+                shp_i = jnp.asarray(shape, jnp.int32)
+                for k, (tc, cs) in enumerate(zip(cfg.types, cell_list)):
+                    if not tc.solidify:
+                        continue
+                    nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+                    p = jnp.mod(cs.pos.reshape(-1, 3), fshape[None, :])
+                    node = jnp.mod(
+                        jnp.floor(p + 0.5).astype(jnp.int32), shp_i[None, :]
+                    )
+                    nn = jnp.mod(
+                        node[:, None, :] + nbr[None, :, :], shp_i[None, None, :]
+                    )
+                    b = binding[nn[..., 0], nn[..., 1], nn[..., 2]]
+                    t = tresca[nn[..., 0], nn[..., 1], nn[..., 2]]
+                    dv = p[:, None, :] - nn.astype(cfg.dtype)
+                    dv = dv - jnp.round(dv / fshape) * fshape
+                    dist = jnp.linalg.norm(dv, axis=-1)
+                    hit = (
+                        b
+                        & (dist <= tc.distance_threshold)
+                        & (t > tc.shear_threshold)
+                    )
+                    vert_hit = jnp.any(hit, axis=1).reshape(nc, nv)
+                    cell_hit = jnp.any(vert_hit, axis=1) & cs.alive
+                    cell_list[k] = cs._replace(
+                        solidify=cs.solidify | cell_hit
+                    )
+                return flags_s, binding, tuple(cell_list)
+
+            flags_new, binding_new, new_cells = _every(
+                it, cfg.solidify_every, _solidify,
+                (state.flags_state, state.binding_mask, tuple(cells)),
+                (state.flags_state, state.binding_mask, tuple(cells)),
+            )
+            cells = list(new_cells)
+            flags = flags_new
 
         # ---- 5: advance + boundary-contact deletion -----------------------
         for k, cs in enumerate(cells):
             new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
             nc, nv = new_pos.shape[0], new_pos.shape[1]
             hit = coupling.on_boundary(
-                jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), cfg.flags
+                jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), flags
             ).reshape(nc, nv)
             alive = cs.alive & ~jnp.any(hit, axis=1)
             cells[k] = cs._replace(pos=new_pos, alive=alive)
@@ -281,7 +429,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             cells[k] = cs._replace(force=force)
 
         return SimState(f=f_new, it=it + 1, cells=tuple(cells),
-                        cepac=cepac_new, omega_field=omega_field_new)
+                        cepac=cepac_new, omega_field=omega_field_new,
+                        flags_state=flags_new, binding_mask=binding_new)
 
     return step
 
@@ -308,5 +457,14 @@ def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
     omega_field = None
     if cfg.interior_every:
         omega_field = jnp.full(cfg.shape, cfg.omega, dtype=cfg.dtype)
+    flags_state = binding = None
+    if cfg.solidify_every:
+        from .cells.repulsion import boundary_neighbor_mask
+
+        flags_state = jnp.asarray(cfg.flags)
+        binding = (
+            jnp.asarray(boundary_neighbor_mask(np.asarray(cfg.flags))) > 0
+        )
     return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states),
-                    cepac=cepac, omega_field=omega_field)
+                    cepac=cepac, omega_field=omega_field,
+                    flags_state=flags_state, binding_mask=binding)

@@ -1,0 +1,95 @@
+"""Lees-Edwards sheared periodic boundary (z-axis).
+
+TPU-native equivalent of the reference's Lees-Edwards data processors
+(helper/leesEdwardsBC.h:57-383, used by cases/leesEdwards): the z-periodic
+wrap is combined with a time-accumulated x-displacement and a Galilean
+velocity offset, so an unbounded uniform shear du_x/dz can be simulated in a
+fully periodic box.
+
+Implementation: after the regular periodic collide+stream, the populations
+that crossed the z-boundary are corrected:
+  * crossing populations are re-sampled from the donor plane with a linear
+    x-interpolation at the fractional displacement (same interpolation the
+    reference uses);
+  * their equilibrium part is shifted to the moving frame:
+      f_q  +=  f_q^eq(rho, u -/+ U) - f_q^eq(rho, u)
+    with U = (shear_rate * Lz, 0, 0) the relative frame velocity.
+
+State: the accumulated displacement (in lu) is carried by the caller
+(displacement_t = shear_rate * Lz * t, wrapped mod Lx).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import d3q19
+from .lbm import collide, equilibrium, macroscopic
+
+
+def _plane_eq_shift(f_plane, du, dtype):
+    """feq(rho,u+du) - feq(rho,u) for one z-plane [19, X, Y]."""
+    c = jnp.asarray(d3q19.C, dtype)
+    rho = jnp.sum(f_plane, axis=0)
+    mom = jnp.tensordot(c.T, f_plane, axes=([1], [0]))
+    u = mom / rho[None]
+    u_shift = u + jnp.asarray(du, dtype)[:, None, None]
+    # equilibrium() expects [3, ...]
+    return equilibrium(rho, u_shift) - equilibrium(rho, u)
+
+
+def le_stream_collide(f, force, omega, displacement, shear_velocity):
+    """One LBM step with Lees-Edwards wrapping across the z faces.
+
+    displacement: accumulated x-offset of the image above z=Lz-1 (traced
+    scalar, in lu, any real value; wrapped here).
+    shear_velocity: relative x-velocity of that image (= shear_rate * Lz).
+    """
+    dtype = f.dtype
+    Q, X, Y, Z = f.shape
+    flags = jnp.zeros((X, Y, Z), jnp.uint8)
+    post = collide(f, force, omega, flags)
+
+    d = jnp.mod(displacement, X)
+    i0 = jnp.floor(d).astype(jnp.int32)
+    frac = (d - jnp.floor(d)).astype(dtype)
+
+    def sample(plane, sign):
+        """g(x) = plane(x + sign*d), periodic linear interpolation."""
+        a = jnp.roll(plane, -sign * i0, axis=1)
+        b = jnp.roll(plane, -sign * (i0 + 1), axis=1)
+        return (1.0 - frac) * a + frac * b
+
+    # Our z=0 receives upward-crossing populations from the top plane of the
+    # image BELOW (displaced -d, moving -U relative to us): sample the top
+    # plane at x + d and shift its equilibrium by -U.  Symmetrically, z=Z-1
+    # receives from the bottom plane of the image ABOVE (+d, +U).
+    top = post[:, :, :, Z - 1]
+    bot = post[:, :, :, 0]
+    top_c = sample(top, +1)
+    top_c = top_c + _plane_eq_shift(top_c, (-shear_velocity, 0.0, 0.0), dtype)
+    bot_c = sample(bot, -1)
+    bot_c = bot_c + _plane_eq_shift(bot_c, (+shear_velocity, 0.0, 0.0), dtype)
+
+    # streaming with corrected wrap: replace the wrapped plane before the
+    # z-roll for each population with cz != 0
+    outs = []
+    for q in range(19):
+        cx, cy, cz = (int(v) for v in d3q19.C[q])
+        fq = post[q]
+        if cz == 1:
+            fq = fq.at[:, :, Z - 1].set(top_c[q])
+        elif cz == -1:
+            fq = fq.at[:, :, 0].set(bot_c[q])
+        if cx or cy or cz:
+            fq = jnp.roll(fq, shift=(cx, cy, cz), axis=(0, 1, 2))
+        outs.append(fq)
+    return jnp.stack(outs, axis=0)
+
+
+def le_parameters(shear_rate_lbm: float, Z: int):
+    """Relative image velocity and per-step displacement increment."""
+    u_rel = shear_rate_lbm * Z
+    return u_rel, u_rel  # displacement grows by u_rel per step

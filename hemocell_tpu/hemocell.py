@@ -362,6 +362,31 @@ class HemoCell:
         f_lu = cellinfo.mean_force_magnitude(cs.force + cs.force_repulsion, cs.alive)
         return float(f_lu) * self.params.df * 1e12
 
+    def sanity_check(self, strict=False):
+        """Validated-envelope checks (reference: HemoCell::sanityCheck,
+        core/hemoCell.cpp:585-696): tau/nu ranges, velocity bound, timescale
+        divisibility.  Returns a list of warnings; raises when strict."""
+        warnings = []
+        p = self.params
+        if not (0.53 <= p.tau <= 1.85):
+            warnings.append(
+                f"tau={p.tau:.3f} outside validated range [0.53, 1.85] "
+                f"(nu_lbm={p.nu_lbm:.3f} not in [0.01, 0.45])"
+            )
+        if p.u_lbm_max > 0.1:
+            warnings.append(f"u_lbm_max={p.u_lbm_max:.3f} > 0.1 (compressibility)")
+        if abs(p.dx - 0.5e-6) > 1e-12:
+            warnings.append(f"dx={p.dx:g} != 0.5e-6 m (models validated at 0.5um)")
+        for ct in self.cell_types:
+            if ct.timescale % self.particle_every != 0:
+                warnings.append(
+                    f"material timescale {ct.timescale} of {ct.name} not "
+                    f"divisible by particle timescale {self.particle_every}"
+                )
+        if strict and warnings:
+            raise ValueError("; ".join(warnings))
+        return warnings
+
     # ------------------------------------------------------------------
     # output & checkpointing
 

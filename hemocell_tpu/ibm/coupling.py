@@ -33,7 +33,7 @@ _OFFSETS = np.array(
 )
 
 
-def stencil(pos, flags, weight_mask=None):
+def stencil(pos, flags, weight_mask=None, return_total=False):
     """Trilinear stencil with boundary-aware renormalisation.
 
     pos:   [P, 3] vertex positions in lattice units (any real values;
@@ -41,7 +41,9 @@ def stencil(pos, flags, weight_mask=None):
     flags: [X, Y, Z] uint8 node flags; weight on any non-fluid node is zeroed
     weight_mask: optional [P] multiplier (0 for dead cells)
 
-    Returns (idx [P, 8, 3] int32, w [P, 8] pos.dtype).
+    Returns (idx [P, 8, 3] int32, w [P, 8] pos.dtype)
+    [, w_fluid_total [P] — raw trilinear weight landing on fluid nodes,
+     the renormalisation denominator, when return_total].
     """
     shape = jnp.asarray(flags.shape, dtype=jnp.int32)
     base = jnp.floor(pos).astype(jnp.int32)  # [P, 3]
@@ -60,10 +62,12 @@ def stencil(pos, flags, weight_mask=None):
     node_flags = flags[idx[..., 0], idx[..., 1], idx[..., 2]]  # [P, 8]
     w = jnp.where(node_flags == FLAG_FLUID, w, 0.0)
 
-    total = jnp.sum(w, axis=-1, keepdims=True)
-    w = w / jnp.maximum(total, 1e-30)
+    total = jnp.sum(w, axis=-1)
+    w = w / jnp.maximum(total, 1e-30)[:, None]
     if weight_mask is not None:
         w = w * weight_mask[:, None]
+    if return_total:
+        return idx, w.astype(pos.dtype), total.astype(pos.dtype)
     return idx, w.astype(pos.dtype)
 
 

@@ -24,8 +24,10 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
     path = os.path.join(directory, "checkpoint.npz")
     tmp = path + ".tmp"
     arrays = {"f": np.asarray(state.f), "it": np.asarray(state.it)}
-    if state.cepac is not None:
-        arrays["cepac"] = np.asarray(state.cepac)
+    for opt in ("cepac", "omega_field", "flags_state", "binding_mask"):
+        val = getattr(state, opt)
+        if val is not None:
+            arrays[opt] = np.asarray(val)
     for k, cs in enumerate(state.cells):
         for fieldname in CellTypeState._fields:
             arrays[f"cell{k}_{fieldname}"] = np.asarray(getattr(cs, fieldname))
@@ -60,16 +62,28 @@ def load_checkpoint(directory: str, dtype=None):
             cells.append(CellTypeState(**fields))
         f = jnp.asarray(data["f"], dtype=dtype) if dtype else jnp.asarray(data["f"])
         it = jnp.asarray(data["it"], jnp.int32)
-        cepac = None
-        if "cepac" in data:
-            cepac = (
-                jnp.asarray(data["cepac"], dtype=dtype)
-                if dtype
-                else jnp.asarray(data["cepac"])
-            )
+        def opt_load(name, floaty=True):
+            if name not in data:
+                return None
+            arr = data[name]
+            if dtype is not None and floaty and arr.dtype.kind == "f":
+                return jnp.asarray(arr, dtype=dtype)
+            return jnp.asarray(arr)
+
+        cepac = opt_load("cepac")
+        omega_field = opt_load("omega_field")
+        flags_state = opt_load("flags_state", floaty=False)
+        binding_mask = opt_load("binding_mask", floaty=False)
     meta = None
     metapath = os.path.join(directory, "checkpoint.json")
     if os.path.exists(metapath):
         with open(metapath) as fh:
             meta = json.load(fh)
-    return SimState(f=f, it=it, cells=tuple(cells), cepac=cepac), meta
+    return (
+        SimState(
+            f=f, it=it, cells=tuple(cells), cepac=cepac,
+            omega_field=omega_field, flags_state=flags_state,
+            binding_mask=binding_mask,
+        ),
+        meta,
+    )

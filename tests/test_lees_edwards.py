@@ -1,0 +1,50 @@
+"""Lees-Edwards sheared periodic boundary: a uniform shear profile through
+the z-wrap must be a steady state (the oracle for the sheared-copy
+interpolation + Galilean shift)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hemocell_tpu.fluid import lbm
+from hemocell_tpu.fluid.lees_edwards import le_stream_collide
+
+jax.config.update("jax_enable_x64", True)
+
+
+def test_uniform_shear_steady():
+    X, Y, Z = 16, 8, 16
+    gamma = 1e-3  # du_x/dz per lu
+    z = jnp.arange(Z, dtype=jnp.float64)
+    ux = gamma * (z - (Z - 1) / 2.0)
+    u = jnp.zeros((3, X, Y, Z), jnp.float64)
+    u = u.at[0].set(jnp.broadcast_to(ux, (X, Y, Z)))
+    rho = jnp.ones((X, Y, Z), jnp.float64)
+    f = lbm.equilibrium(rho, u)
+    force = jnp.zeros((3, X, Y, Z), jnp.float64)
+    u_rel = gamma * Z  # relative image velocity
+
+    displacement = 0.0
+    for n in range(200):
+        f = le_stream_collide(f, force, 1.0, displacement, u_rel)
+        displacement += u_rel
+
+    _, u_out = lbm.macroscopic(f, force)
+    prof = np.asarray(u_out[0].mean(axis=(0, 1)))
+    expect = np.asarray(ux)
+    np.testing.assert_allclose(prof, expect, atol=gamma * 0.2)
+    # mass conserved
+    np.testing.assert_allclose(float(jnp.sum(f)), X * Y * Z, rtol=1e-10)
+
+
+def test_le_reduces_to_periodic_at_zero_shear():
+    X, Y, Z = 8, 8, 8
+    key = jax.random.PRNGKey(0)
+    rho = 1.0 + 0.01 * jax.random.normal(key, (X, Y, Z), jnp.float64)
+    u = 0.01 * jax.random.normal(key, (3, X, Y, Z), jnp.float64)
+    f = lbm.equilibrium(rho, u)
+    force = jnp.zeros((3, X, Y, Z), jnp.float64)
+    flags = jnp.zeros((X, Y, Z), jnp.uint8)
+    a = le_stream_collide(f, force, 0.9, 0.0, 0.0)
+    b = lbm.stream_collide(f, force, 0.9, flags)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-14)
