@@ -48,6 +48,12 @@ class SimState(NamedTuple):
     # reference: helper/bindingField.{h,cpp}, pltSimpleModel.cpp:211-248)
     flags_state: Any = None
     binding_mask: Any = None
+    # dynamic velocity-BC override (preInlet coupling,
+    # reference: helper/preInlet.cpp:353-452)
+    bc_state: Any = None
+    # dynamic body-force override [3] (adaptive preInlet drive,
+    # reference: helper/preInlet.cpp:742-938)
+    body_force_state: Any = None
 
 
 @dataclass
@@ -130,6 +136,10 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             if (cfg.solidify_every and state.flags_state is not None)
             else cfg.flags
         )
+        # velocity BC: dynamic override (preInlet) wins over the static one
+        bc_velocity = (
+            state.bc_state if state.bc_state is not None else cfg.bc_velocity
+        )
 
         # ---- flatten vertices across types --------------------------------
         pos_parts, act_parts, gid_parts, ftot_parts = [], [], [], []
@@ -145,6 +155,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         pos_flat = jnp.concatenate(pos_parts) if pos_parts else None
         active = jnp.concatenate(act_parts) if act_parts else None
         cell_gid = jnp.concatenate(gid_parts) if gid_parts else None
+        if pos_flat is not None and pos_flat.shape[0] == 0:
+            # types registered but no cells loaded: pure-fluid run
+            pos_flat = active = cell_gid = None
 
         # ---- 1: repulsion -------------------------------------------------
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
@@ -186,8 +199,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
         # ---- 2: spread particle forces + body force -----------------------
         force_field = jnp.zeros((3,) + shape, dtype=cfg.dtype)
-        if cfg.body_force is not None:
-            bf = jnp.asarray(cfg.body_force, dtype=cfg.dtype)
+        body_force = (
+            state.body_force_state
+            if state.body_force_state is not None
+            else cfg.body_force
+        )
+        if body_force is not None:
+            bf = jnp.asarray(body_force, dtype=cfg.dtype)
             if bf.ndim == 1:
                 bf = bf[:, None, None, None]
             force_field = force_field + bf
@@ -278,11 +296,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             from .fluid.pallas_lbm import stream_collide_pallas
 
             f_new = stream_collide_pallas(
-                state.f, force_field, omega, flags, cfg.bc_velocity
+                state.f, force_field, omega, flags, bc_velocity
             )
         else:
             f_new = lbm.stream_collide(
-                state.f, force_field, omega, flags, cfg.bc_velocity
+                state.f, force_field, omega, flags, bc_velocity
             )
 
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
@@ -297,7 +315,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
 
         # ---- 4: interpolate fluid velocity to vertices --------------------
-        if cells:
+        if cells and pos_flat is not None:
             _, u = lbm.macroscopic(f_new, force_field)
 
             def _interp(_unused):
@@ -414,14 +432,16 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
         # ---- 6: constitutive model ----------------------------------------
         for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
-            def _mech(args, tc=tc):
+            def _mech(args, tc=tc, cs=cs):
                 p, v = args
                 ft = jax.vmap(
                     lambda pp, vv: tc.model_fn(pp, vv, tc.topo, tc.material).total
                 )(p, v)
                 if tc.ext_force is not None:
                     ft = ft + tc.ext_force
-                return ft
+                # dead slots may hold degenerate geometry (NaN forces);
+                # where (not multiply) so NaN*0 can't leak
+                return jnp.where(cs.alive[:, None, None], ft, 0.0)
 
             force = _every(
                 it, tc.material_every, _mech, (cs.pos, cs.vel), cs.force
@@ -430,7 +450,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
         return SimState(f=f_new, it=it + 1, cells=tuple(cells),
                         cepac=cepac_new, omega_field=omega_field_new,
-                        flags_state=flags_new, binding_mask=binding_new)
+                        flags_state=flags_new, binding_mask=binding_new,
+                        bc_state=state.bc_state,
+                        body_force_state=state.body_force_state)
 
     return step
 

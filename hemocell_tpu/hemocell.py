@@ -431,21 +431,47 @@ class HemoCell:
             pos = np.asarray(cs.pos)[alive]
             vel = np.asarray(cs.vel)[alive]
             frc = np.asarray(cs.force)[alive]
+            frep = np.asarray(cs.force_repulsion)[alive]
             nca = pos.shape[0]
             nv = ct.num_vertices
             tris = (
                 np.asarray(ct.topo.triangles)[None, :, :]
                 + (np.arange(nca) * nv)[:, None, None]
             ).reshape(-1, 3)
+            datasets = {
+                "Velocity": vel.reshape(-1, 3),
+                "Total force": (frc + frep).reshape(-1, 3),
+                "Repulsion force": frep.reshape(-1, 3),
+                "Cell Id": np.repeat(np.arange(nca), nv)[:, None],
+                "Vertex Id": np.tile(np.arange(nv), nca)[:, None],
+            }
+            # separated constitutive force components, recomputed like the
+            # reference's separateForceVectors re-run
+            # (core/hemoCellParticleField.cpp:590-614)
+            if nca > 0:
+                import jax
+
+                from .mechanics import MODEL_REGISTRY
+
+                model = MODEL_REGISTRY[ct.model_name]
+                terms = jax.vmap(
+                    lambda p, v: model(p, v, ct.topo_dev, ct.material)
+                )(jnp.asarray(pos), jnp.asarray(vel))
+                for label, attr in [
+                    ("Area force", "area"),
+                    ("Volume force", "volume"),
+                    ("Link force", "link"),
+                    ("Bending force", "bending"),
+                    ("Viscous force", "visc"),
+                    ("Inner link force", "inner_link"),
+                ]:
+                    datasets[label] = np.asarray(
+                        getattr(terms, attr)
+                    ).reshape(-1, 3)
             write_cells_hdf5(
                 self.outdir, self.iter, ct.name,
                 positions=pos.reshape(-1, 3),
-                datasets={
-                    "Velocity": vel.reshape(-1, 3),
-                    "Total force": frc.reshape(-1, 3),
-                    "Cell Id": np.repeat(np.arange(nca), nv)[:, None],
-                    "Vertex Id": np.tile(np.arange(nv), nca)[:, None],
-                },
+                datasets=datasets,
                 triangles=tris,
             )
             # per-cell CSV (io/writeCellInfoCSV.cpp)

@@ -24,7 +24,7 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
     path = os.path.join(directory, "checkpoint.npz")
     tmp = path + ".tmp"
     arrays = {"f": np.asarray(state.f), "it": np.asarray(state.it)}
-    for opt in ("cepac", "omega_field", "flags_state", "binding_mask"):
+    for opt in ("cepac", "omega_field", "flags_state", "binding_mask", "bc_state", "body_force_state"):
         val = getattr(state, opt)
         if val is not None:
             arrays[opt] = np.asarray(val)
@@ -74,6 +74,8 @@ def load_checkpoint(directory: str, dtype=None):
         omega_field = opt_load("omega_field")
         flags_state = opt_load("flags_state", floaty=False)
         binding_mask = opt_load("binding_mask", floaty=False)
+        bc_state = opt_load("bc_state")
+        body_force_state = opt_load("body_force_state")
     meta = None
     metapath = os.path.join(directory, "checkpoint.json")
     if os.path.exists(metapath):
@@ -83,7 +85,8 @@ def load_checkpoint(directory: str, dtype=None):
         SimState(
             f=f, it=it, cells=tuple(cells), cepac=cepac,
             omega_field=omega_field, flags_state=flags_state,
-            binding_mask=binding_mask,
+            binding_mask=binding_mask, bc_state=bc_state,
+            body_force_state=body_force_state,
         ),
         meta,
     )

@@ -71,11 +71,13 @@ def write_fluid_hdf5(
         first = next(iter(fields.values()))
         X, Y, Z = first.shape[:3]
         nx, ny, nz = X + 2, Y + 2, Z + 2
-        f.attrs["dx"] = np.float64(dx)
-        f.attrs["dt"] = np.float64(dt)
-        f.attrs["iteration"] = np.int64(iteration)
-        f.attrs["processorId"] = np.int32(0)
-        f.attrs["numberOfCells"] = np.int32(nx * ny * nz)
+        # reference attrs are all 1-element arrays (H5LT with size 1); the
+        # shipped XMF scripts len() them
+        f.attrs["dx"] = np.asarray([dx], np.float64)
+        f.attrs["dt"] = np.asarray([dt], np.float64)
+        f.attrs["iteration"] = np.asarray([iteration], np.int64)
+        f.attrs["processorId"] = np.asarray([0], np.int32)
+        f.attrs["numberOfCells"] = np.asarray([nx * ny * nz], np.int32)
         # reversed (z, y, x) for paraview, like the reference
         f.attrs["subdomainSize"] = np.asarray([nz, ny, nx], np.int32)
         rel = np.asarray([-1.5, -1.5, -1.5], np.float32)
@@ -116,13 +118,13 @@ def write_cells_hdf5(
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{name}.{zero_pad(iteration)}.p.{block_id}.h5")
     with h5py.File(path, "w") as f:
-        f.attrs["iteration"] = np.int64(iteration)
-        f.attrs["processorId"] = np.int32(0)
+        f.attrs["iteration"] = np.asarray([iteration], np.int64)
+        f.attrs["processorId"] = np.asarray([0], np.int32)
         f.create_dataset(
             "Position", data=np.asarray(positions, np.float32),
             compression="gzip", compression_opts=7,
         )
-        f.attrs["numberOfParticles"] = np.int64(positions.shape[0])
+        f.attrs["numberOfParticles"] = np.asarray([positions.shape[0]], np.int64)
         for dname, arr in (datasets or {}).items():
             f.create_dataset(
                 dname, data=np.asarray(arr, np.float32),
@@ -133,7 +135,7 @@ def write_cells_hdf5(
                 "Triangles", data=np.asarray(triangles, np.int32),
                 compression="gzip", compression_opts=7,
             )
-            f.attrs["numberOfTriangles"] = np.int64(triangles.shape[0])
+            f.attrs["numberOfTriangles"] = np.asarray([triangles.shape[0]], np.int64)
     return path
 
 

@@ -1,0 +1,117 @@
+"""PreInlet coupling: velocity-plane forwarding and periodic-image particle
+re-injection (reference: helper/preInlet.{h,cpp})."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hemocell_tpu.config.defaults import FLAG_VELOCITY, FLAG_WALL
+from hemocell_tpu.cells.state import make_cell_state
+from hemocell_tpu.dynamics import StepConfig, TypeConfig, initial_sim_state
+from hemocell_tpu.mechanics import (
+    MODEL_REGISTRY,
+    MaterialConstants,
+    material_dict,
+    topology_device_arrays,
+)
+from hemocell_tpu.mesh import build_topology, icosphere
+from hemocell_tpu.utils.preinlet import (
+    PreInletState,
+    initial_crossings,
+    make_coupled_stepper,
+)
+
+
+def _type(dtype=jnp.float64):
+    mesh = icosphere(80).scaled(2.0)
+    topo = build_topology(mesh)
+    return mesh, TypeConfig(
+        name="cell",
+        model_fn=MODEL_REGISTRY["RbcHighOrderModel"],
+        topo=topology_device_arrays(topo, dtype=dtype),
+        # physical-scale LU coefficients (kBT_lbm ~ 1e-5); order-0.1 values
+        # make the membrane feedback loop explode
+        material=material_dict(
+            MaterialConstants(
+                k_volume=2e-5, k_area=1.5e-5, k_link=1e-5, k_bend=1e-5
+            )
+        ),
+    )
+
+
+def test_preinlet_coupling():
+    shape = (24, 12, 12)
+    dtype = jnp.float64
+    mesh, tc = _type(dtype)
+
+    walls = np.zeros(shape, np.uint8)
+    walls[:, 0, :] = FLAG_WALL
+    walls[:, -1, :] = FLAG_WALL
+
+    pre_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(walls), omega=1.0, types=[tc],
+        body_force=jnp.asarray([1e-5, 0, 0], dtype), dtype=dtype,
+        use_pallas=False,
+    )
+    mflags = walls.copy()
+    mflags[0, 1:-1, :] = FLAG_VELOCITY
+    main_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(mflags), omega=1.0, types=[tc],
+        dtype=dtype, use_pallas=False,
+    )
+
+    # preinlet: one cell moving with the flow; main: empty with 2 spare slots
+    pre_cells = make_cell_state(
+        (mesh.vertices + np.array([20.0, 6.0, 6.0]))[None], dtype=dtype
+    )
+    # spare slots keep the template shape, parked outside the domain
+    far = mesh.vertices[None] + np.array([-100.0, 6.0, 6.0])
+    far = np.repeat(far, 2, axis=0)
+    main_cells = make_cell_state(far, dtype=dtype)
+    main_cells = main_cells._replace(alive=jnp.zeros(2, bool))
+
+    pre_state = initial_sim_state(pre_cfg, [pre_cells])
+    main_state = initial_sim_state(main_cfg, [main_cells])
+    main_state = main_state._replace(
+        bc_state=jnp.zeros((3,) + shape, dtype)
+    )
+
+    stepper = make_coupled_stepper(pre_cfg, main_cfg)
+    st = PreInletState(
+        pre=pre_state,
+        main=main_state,
+        body_force=jnp.asarray(1e-5, dtype),
+        crossings=initial_crossings(pre_state, shape[0]),
+    )
+
+    for _ in range(10):
+        st = stepper(st)
+    jax.block_until_ready(st)
+
+    # velocity plane forwarded: the main inlet BC equals the preinlet's
+    # outlet velocity profile (nonzero after 10 driven steps)
+    bc = np.asarray(st.main.bc_state[0, 0, :, :])
+    assert np.abs(bc).max() > 0
+    # the main fluid responded
+    zero = jnp.zeros((3,) + shape, dtype)
+    from hemocell_tpu.fluid import lbm
+
+    _, u_main = lbm.macroscopic(st.main.f, zero)
+    assert float(jnp.abs(u_main[0]).max()) > 0
+
+    # force a crossing: teleport the preinlet cell past the boundary
+    pc = st.pre.cells[0]
+    st = st._replace(
+        pre=st.pre._replace(
+            cells=(pc._replace(pos=pc.pos + jnp.asarray([10.0, 0, 0], dtype)),)
+        )
+    )
+    st2 = stepper(st)
+    assert int(st2.main.cells[0].alive.sum()) == 1
+    # injected near the main inlet (wrapped coordinates)
+    inj = int(np.argmax(np.asarray(st2.main.cells[0].alive)))
+    cx = float(st2.main.cells[0].pos[inj, :, 0].mean())
+    assert -8.0 < cx < 16.0
+    # no double injection for the same image
+    st3 = stepper(st2)
+    assert int(st3.main.cells[0].alive.sum()) == 1
