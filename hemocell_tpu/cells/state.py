@@ -88,26 +88,62 @@ def filter_wall_overlaps(
     cells_pos: np.ndarray,
     flags: np.ndarray,
     deny_layer: int = 0,
+    periodic_axes=(0,),
 ) -> np.ndarray:
-    """Boolean keep-mask: drop cells with any vertex inside/near a wall
-    (placement denial, io/readPositionsBloodCells.cpp:142-166)."""
-    shape = np.asarray(flags.shape)
+    """Boolean keep-mask for cell placement, following the reference's
+    semantics (io/readPositionsBloodCells.cpp:120-186 + deleteIncompleteCells):
+
+      * positions wrap along ``periodic_axes`` (the flow direction);
+      * a vertex falling outside the domain on a non-periodic axis makes the
+        cell incomplete -> dropped;
+      * a vertex whose node (or any node in the +-deny_layer cube around it,
+        clipped to the domain) is a wall -> dropped.
+    """
+    X, Y, Z = flags.shape
     keep = np.ones(cells_pos.shape[0], dtype=bool)
+    if deny_layer > 0:
+        offs = [
+            (px, py, pz)
+            for px in range(-deny_layer, deny_layer + 1)
+            for py in range(-deny_layer, deny_layer + 1)
+            for pz in range(-deny_layer, deny_layer + 1)
+        ]
+    else:
+        offs = []
+    dims = np.asarray([X, Y, Z])
     for i, cell in enumerate(cells_pos):
-        node = np.floor(cell + 0.5).astype(int) % shape
-        if (flags[node[:, 0], node[:, 1], node[:, 2]] != 0).any():
+        node = np.floor(cell + 0.5).astype(int)
+        for a in periodic_axes:
+            node[:, a] %= dims[a]
+        nonper = [a for a in range(3) if a not in periodic_axes]
+        oob = False
+        for a in nonper:
+            if (node[:, a] < 0).any() or (node[:, a] >= dims[a]).any():
+                oob = True
+                break
+        if oob:
             keep[i] = False
             continue
-        if deny_layer > 0:
-            for d in range(-deny_layer, deny_layer + 1):
-                for axis in range(3):
-                    n2 = node.copy()
-                    n2[:, axis] = (n2[:, axis] + d) % shape[axis]
-                    if (flags[n2[:, 0], n2[:, 1], n2[:, 2]] != 0).any():
-                        keep[i] = False
-                        break
-                if not keep[i]:
-                    break
+        inb = np.ones(len(node), bool)
+        for a in nonper:
+            inb &= (node[:, a] >= 0) & (node[:, a] < dims[a])
+        nb = node[inb]
+        if (flags[nb[:, 0], nb[:, 1], nb[:, 2]] != 0).any():
+            keep[i] = False
+            continue
+        bad = False
+        for o in offs:
+            n2 = node + o
+            for a in periodic_axes:
+                n2[:, a] %= dims[a]
+            inb2 = np.ones(len(n2), bool)
+            for a in nonper:
+                inb2 &= (n2[:, a] >= 0) & (n2[:, a] < dims[a])
+            nn = n2[inb2]
+            if (flags[nn[:, 0], nn[:, 1], nn[:, 2]] != 0).any():
+                bad = True
+                break
+        keep[i] = not bad
     return keep
 
 
