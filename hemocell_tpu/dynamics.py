@@ -109,6 +109,9 @@ class StepConfig:
     interior_every: int = 0
     # solidification period (0 = disabled; reference: solidifyTimescale)
     solidify_every: int = 0
+    # force spreading: 'scatter' (XLA scatter-add) or 'binned' (dense MXU
+    # matmuls); scatter measures faster in-context on v5e at 64^3/70k verts
+    spread_mode: str = "scatter"
 
 
 def _every(it, k, fn, operand, fallback):
@@ -241,10 +244,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             ftot = jnp.concatenate(ftot_parts)
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
-            use_fast = cfg.use_pallas
-            if use_fast is None:
-                use_fast = jax.default_backend() == "tpu"
-            if use_fast:
+            if cfg.spread_mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
 
                 # renormalised deposit: scale by 1/(fluid weight total) and

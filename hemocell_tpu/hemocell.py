@@ -60,6 +60,12 @@ class CellType:
     ext_force: Optional[np.ndarray] = None
     volume_um3: float = 0.0
     minimum_distance_from_solid_um: float = 0.0
+    # interior viscosity (1/tau inside the membrane; None = off)
+    omega_interior: Optional[float] = None
+    # solidify mechanics
+    solidify: bool = False
+    distance_threshold: float = 0.0
+    shear_threshold: float = 0.0
 
     @property
     def num_vertices(self):
@@ -100,6 +106,9 @@ class HemoCell:
         self.boundary_repulsion_constant = 0.0
         self.boundary_repulsion_cutoff = 0.0
         self.boundary_repulsion_every = 1
+        self.interior_every = 0  # interiorViscosityTimescale (0 = off)
+        self.solidify_every = 0  # solidifyTimescale (0 = off)
+        self.cepac_tau = None
         self._state: Optional[SimState] = None
         self._runner = None
         self._dirty = True
@@ -233,6 +242,56 @@ class HemoCell:
         self.boundary_repulsion_every = int(every)
         self._dirty = True
 
+    def enable_interior_viscosity(self, type_index: int, every: int = 10,
+                                  viscosity_ratio: Optional[float] = None):
+        """Per-node omega raised inside this type's membranes (reference:
+        viscosityRatio material XML + interiorViscosity timescales)."""
+        from .cells.interior import interior_tau
+
+        ct = self.cell_types[type_index]
+        if viscosity_ratio is None:
+            viscosity_ratio = ct.material_cfg.get("viscosityRatio", float, 5.0)
+        ct.omega_interior = 1.0 / interior_tau(viscosity_ratio, self.params.tau)
+        self.interior_every = int(every)
+        self._dirty = True
+
+    def enable_solidify(self, type_index: int, every: int = 10,
+                        distance_threshold: Optional[float] = None,
+                        shear_threshold: Optional[float] = None):
+        """Platelet binding/solidification (reference: SOLIDIFY_MECHANICS
+        build + material XML distanceThreshold/shearThreshold)."""
+        ct = self.cell_types[type_index]
+        ct.solidify = True
+        ct.distance_threshold = (
+            distance_threshold
+            if distance_threshold is not None
+            else ct.material_cfg.get("distanceThreshold", float, 1.0)
+        )
+        ct.shear_threshold = (
+            shear_threshold
+            if shear_threshold is not None
+            else ct.material_cfg.get("shearThreshold", float, 0.0)
+        )
+        self.solidify_every = int(every)
+        self._dirty = True
+
+    def enable_cepac(self, diffusivity_lbm: float = 1.0 / 6.0,
+                     dirichlet_mask=None, dirichlet_value=None):
+        """CEPAC scalar advection-diffusion field (reference:
+        global.enableCEPACfield + createCEPACfield)."""
+        from .fluid.advection_diffusion import tau_from_diffusivity
+
+        self.cepac_tau = tau_from_diffusivity(diffusivity_lbm)
+        self._cepac_mask = (
+            jnp.asarray(dirichlet_mask) if dirichlet_mask is not None else None
+        )
+        self._cepac_value = (
+            jnp.asarray(dirichlet_value, dtype=self.dtype)
+            if dirichlet_value is not None
+            else None
+        )
+        self._dirty = True
+
     def set_body_force(self, force):
         """Uniform driving force density [3] (pipe flow drive)."""
         self.body_force = jnp.asarray(force, dtype=self.dtype)
@@ -256,6 +315,9 @@ class HemoCell:
     def _build(self):
         types = []
         for ct in self.cell_types:
+            box = int(np.ceil(
+                2 * np.ptp(ct.mesh.vertices, axis=0).max()
+            )) if ct.omega_interior or ct.solidify else 24
             types.append(
                 TypeConfig(
                     name=ct.name,
@@ -264,6 +326,11 @@ class HemoCell:
                     material=ct.material,
                     material_every=ct.timescale,
                     ext_force=ct.ext_force,
+                    omega_interior=ct.omega_interior,
+                    interior_box=max(12, box),
+                    solidify=ct.solidify,
+                    distance_threshold=ct.distance_threshold,
+                    shear_threshold=ct.shear_threshold,
                 )
             )
         bmask = None
@@ -286,6 +353,11 @@ class HemoCell:
             boundary_repulsion_every=self.boundary_repulsion_every,
             boundary_mask=bmask,
             dtype=self.dtype,
+            interior_every=self.interior_every,
+            solidify_every=self.solidify_every,
+            cepac_tau=self.cepac_tau,
+            cepac_dirichlet_mask=getattr(self, "_cepac_mask", None),
+            cepac_dirichlet_value=getattr(self, "_cepac_value", None),
         )
         self._step_cfg = cfg
         self._runner = build_runner(cfg)
