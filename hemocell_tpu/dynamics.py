@@ -126,6 +126,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
     shape = tuple(int(s) for s in cfg.shape)
     fshape = jnp.asarray(shape, dtype=cfg.dtype)
     n_types = len(cfg.types)
+    # static: wall-free domains (and no solidify, which could create walls)
+    # skip the per-node flag gather in the IBM stencil entirely
+    has_boundaries = bool(np.asarray(cfg.flags).any()) or bool(cfg.solidify_every)
 
     # global cell ids across types, for cross-type repulsion exclusion
     gid_offset = np.cumsum([0] + [0 for _ in range(n_types)])
@@ -225,12 +228,22 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                               constant_values=0.5)
             act_pad = jnp.pad(active, (0, pad))
             pos_w = jnp.mod(pos_pad, fshape[None, :])
-            # kernel computed once per step, reused for interpolation
-            # (the reference caches kernelWeights the same way,
-            #  core/immersedBoundaryMethod.h:62-138)
-            idx, w, wtot = coupling.stencil(
-                pos_w, flags, weight_mask=act_pad, return_total=True
+            use_pallas_ibm = (
+                cfg.spread_mode == "pallas" and not has_boundaries
             )
+            if use_pallas_ibm:
+                from .ibm.pallas_ibm import slab_capacity as _slab_cap
+
+                ibm_capacity = _slab_cap(P_pad, shape[0])
+                idx = w = wtot = None
+            else:
+                # kernel computed once per step, reused for interpolation
+                # (the reference caches kernelWeights the same way,
+                #  core/immersedBoundaryMethod.h:62-138)
+                idx, w, wtot = coupling.stencil(
+                    pos_w, flags, weight_mask=act_pad, return_total=True,
+                    has_boundaries=has_boundaries,
+                )
 
             # spread total = constitutive(capped) + repulsion
             # (core/hemoCellParticleField.cpp:841-863)
@@ -244,7 +257,15 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             ftot = jnp.concatenate(ftot_parts)
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
-            if cfg.spread_mode == "binned":
+            if use_pallas_ibm:
+                from .ibm.pallas_ibm import pallas_spread
+
+                fdep = ftot * act_pad[:, None]
+                field, _ = pallas_spread(
+                    pos_w, fdep, shape, capacity=ibm_capacity
+                )
+                force_field = force_field + field
+            elif cfg.spread_mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
 
                 # renormalised deposit: scale by 1/(fluid weight total) and
@@ -319,6 +340,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             _, u = lbm.macroscopic(f_new, force_field)
 
             def _interp(_unused):
+                if use_pallas_ibm:
+                    from .ibm.pallas_ibm import pallas_interp
+
+                    v, _ = pallas_interp(pos_w, u, shape,
+                                         capacity=ibm_capacity)
+                    return v * act_pad[:, None]
                 return coupling.interpolate(u, idx, w)
 
             vel_fallback = jnp.pad(
@@ -423,11 +450,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # ---- 5: advance + boundary-contact deletion -----------------------
         for k, cs in enumerate(cells):
             new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
-            nc, nv = new_pos.shape[0], new_pos.shape[1]
-            hit = coupling.on_boundary(
-                jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), flags
-            ).reshape(nc, nv)
-            alive = cs.alive & ~jnp.any(hit, axis=1)
+            if has_boundaries:
+                nc, nv = new_pos.shape[0], new_pos.shape[1]
+                hit = coupling.on_boundary(
+                    jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), flags
+                ).reshape(nc, nv)
+                alive = cs.alive & ~jnp.any(hit, axis=1)
+            else:
+                alive = cs.alive
             cells[k] = cs._replace(pos=new_pos, alive=alive)
 
         # ---- 6: constitutive model ----------------------------------------

@@ -33,13 +33,17 @@ _OFFSETS = np.array(
 )
 
 
-def stencil(pos, flags, weight_mask=None, return_total=False):
+def stencil(pos, flags, weight_mask=None, return_total=False,
+            has_boundaries=True):
     """Trilinear stencil with boundary-aware renormalisation.
 
     pos:   [P, 3] vertex positions in lattice units (any real values;
            wrapped periodically onto the grid)
     flags: [X, Y, Z] uint8 node flags; weight on any non-fluid node is zeroed
     weight_mask: optional [P] multiplier (0 for dead cells)
+    has_boundaries: static; pass False for wall-free domains to skip the
+           (expensive on TPU) per-node flag gather — weights are then pure
+           trilinear and already sum to 1.
 
     Returns (idx [P, 8, 3] int32, w [P, 8] pos.dtype)
     [, w_fluid_total [P] — raw trilinear weight landing on fluid nodes,
@@ -59,11 +63,13 @@ def stencil(pos, flags, weight_mask=None, return_total=False):
     )  # [P, 8, 3]
     w = jnp.prod(w_axis, axis=-1)  # [P, 8]
 
-    node_flags = flags[idx[..., 0], idx[..., 1], idx[..., 2]]  # [P, 8]
-    w = jnp.where(node_flags == FLAG_FLUID, w, 0.0)
-
-    total = jnp.sum(w, axis=-1)
-    w = w / jnp.maximum(total, 1e-30)[:, None]
+    if has_boundaries:
+        node_flags = flags[idx[..., 0], idx[..., 1], idx[..., 2]]  # [P, 8]
+        w = jnp.where(node_flags == FLAG_FLUID, w, 0.0)
+        total = jnp.sum(w, axis=-1)
+        w = w / jnp.maximum(total, 1e-30)[:, None]
+    else:
+        total = jnp.ones(pos.shape[0], dtype=pos.dtype)
     if weight_mask is not None:
         w = w * weight_mask[:, None]
     if return_total:

@@ -82,6 +82,7 @@ def rbc_suspension(
     particle_every: int = 1,
     material_every: int = 1,
     seed: int = 0,
+    spread_mode: str = "scatter",
 ):
     """Periodic box of RBCs, optionally sheared by two moving walls (z faces)
     or driven by a body force.  Returns (cfg, state, meta)."""
@@ -129,6 +130,7 @@ def rbc_suspension(
         repulsion_cutoff=0.7 if repulsion else 0.0,
         repulsion_every=1,
         dtype=dtype,
+        spread_mode=spread_mode,
     )
     state = initial_sim_state(cfg, [make_cell_state(cells, dtype=dtype)])
     meta = {
