@@ -2,19 +2,21 @@
 x-slab-sorted vertices.
 
 The TPU-native endgame for the IBM exchange: XLA's gather/scatter serialise
-(~10 ms per 70k vertices), so both directions are reformulated as per-slab
-dense one-hot contractions executed on the MXU inside a Pallas kernel:
+(~10 ms per 70k vertices at 64^3), so both directions are reformulated as
+per-slab dense one-hot contractions executed on the MXU inside a Pallas
+kernel:
 
   * vertices are sorted by their base x-slab once per call (bitonic sort +
-    row permute in XLA);
+    row permute in XLA) and stored component-major [3, P] so slab windows
+    are lane-aligned DMA slices (Mosaic requires 128-aligned slice lanes);
   * the kernel grid runs over slabs; each program DMAs its slab's contiguous
-    vertex rows (scalar-prefetched offsets, fixed capacity window into a
-    tail-padded array — later programs overwrite earlier overhang, the grid
-    is sequential on a single TensorCore);
-  * spread: per component, deposit = (Sy * wx*F_c)^T @ Sz onto the slab's
-    [Y, Z] plane, with the x-weight split over two outputs (rows g and g+1);
-  * interpolation: A = Sy @ u_row -> v_p = sum_z A * Sz, accumulated over
-    the rows g and g+1 with their x-weights.
+    vertex columns (scalar-prefetched offsets, fixed capacity window into a
+    tail-padded array — later programs overwrite earlier overhang; the grid
+    is sequential on the single TensorCore);
+  * one-hot interpolation matrices keep vertices in the LANE dimension
+    (Sy [Y, C], Sz [Z, C]) so no in-kernel transposes are needed:
+      spread:  out[y,z] = (Sy * a) @ Sz^T            (contract lanes)
+      interp:  t = u @ Sz  ->  v = sum_y Sy * t      (row reduce)
 
 Wall-free domains only (boundary-aware renormalisation falls back to the
 jnp path); capacity overflow is returned for callers to assert on.
@@ -47,6 +49,37 @@ def _sort_by_slab(pos, X):
     return order, starts
 
 
+def _weights(pos3c, count, C, Y, Z):
+    """One-hot interpolation rows from a [3, C] position block.
+
+    Returns (Sy [Y, C], Sz [Z, C], wx0 [1, C], wx1 [1, C])."""
+    px = pos3c[0:1, :]  # [1, C]
+    py = pos3c[1:2, :]
+    pz = pos3c[2:3, :]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) < count
+    ).astype(pos3c.dtype)
+
+    fx = px - jnp.floor(px)
+    wx0 = (1.0 - fx) * valid
+    wx1 = fx * valid
+
+    iy = jnp.floor(py).astype(jnp.int32)  # [1, C]
+    iz = jnp.floor(pz).astype(jnp.int32)
+    fy = py - jnp.floor(py)
+    fz = pz - jnp.floor(pz)
+
+    ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
+    ids_z = jax.lax.broadcasted_iota(jnp.int32, (Z, C), 0)
+    Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
+        ids_y == jnp.mod(iy + 1, Y)
+    ) * fy  # [Y, C]
+    Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
+        ids_z == jnp.mod(iz + 1, Z)
+    ) * fz  # [Z, C]
+    return Sy, Sz, wx0, wx1
+
+
 # ---------------------------------------------------------------------------
 # spread
 
@@ -58,47 +91,26 @@ def _spread_kernel(C, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
     count = starts_ref[g + 1] - start
 
     cp_pos = pltpu.make_async_copy(
-        pos_hbm.at[pl.ds(start, C)], pos_v, sem
+        pos_hbm.at[:, pl.ds(start, C)], pos_v, sem
     )
     cp_pos.start()
     cp_pos.wait()
-    cp_f = pltpu.make_async_copy(F_hbm.at[pl.ds(start, C)], F_v, sem)
+    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(start, C)], F_v, sem)
     cp_f.start()
     cp_f.wait()
 
-    p = pos_v[:]  # [C, 3]
-    F = F_v[:]  # [C, 3]
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) < count
-    ).astype(p.dtype)  # [C, 1]
-
-    fx = p[:, 0:1] - jnp.floor(p[:, 0:1])
-    wx0 = (1.0 - fx) * valid
-    wx1 = fx * valid
-
-    iy = jnp.floor(p[:, 1:2]).astype(jnp.int32)
-    iz = jnp.floor(p[:, 2:3]).astype(jnp.int32)
-    fy = p[:, 1:2] - jnp.floor(p[:, 1:2])
-    fz = p[:, 2:3] - jnp.floor(p[:, 2:3])
-
-    ids_y = jax.lax.broadcasted_iota(jnp.int32, (C, Y), 1)
-    ids_z = jax.lax.broadcasted_iota(jnp.int32, (C, Z), 1)
-    iy0 = jnp.mod(iy, Y)
-    iy1 = jnp.mod(iy + 1, Y)
-    iz0 = jnp.mod(iz, Z)
-    iz1 = jnp.mod(iz + 1, Z)
-    Sy = (ids_y == iy0) * (1.0 - fy) + (ids_y == iy1) * fy  # [C, Y]
-    Sz = (ids_z == iz0) * (1.0 - fz) + (ids_z == iz1) * fz  # [C, Z]
+    Sy, Sz, wx0, wx1 = _weights(pos_v[:], count, C, Y, Z)
+    F = F_v[:]  # [3, C]
 
     for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
         planes = []
         for c in range(3):
-            SyA = Sy * (F[:, c : c + 1] * wx)  # [C, Y]
+            M = Sy * (F[c : c + 1, :] * wx)  # [Y, C]
             planes.append(
                 jax.lax.dot_general(
-                    SyA, Sz,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=SyA.dtype,
+                    M, Sz,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=M.dtype,
                 )  # [Y, Z]
             )
         out_ref[0] = jnp.stack(planes, axis=0)  # [3, Y, Z]
@@ -123,9 +135,12 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
     counts = jnp.diff(starts)
     overflow = jnp.sum(jnp.maximum(counts - C, 0))
 
-    # tail-pad so every slab window [start, start+C) is in bounds
-    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)])
-    F_s = jnp.concatenate([forces[order], jnp.zeros((C, 3), dtype)])
+    # component-major, tail-padded so every [start, start+C) window fits;
+    # dim0 padded 3->4 for sublane-aligned DMA slices
+    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)]).T
+    pos_s = jnp.concatenate([pos_s, jnp.zeros((1, pos_s.shape[1]), p.dtype)])
+    F_s = jnp.concatenate([forces[order], jnp.zeros((C, 3), dtype)]).T
+    F_s = jnp.concatenate([F_s, jnp.zeros((1, F_s.shape[1]), dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -141,8 +156,8 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, 3), pos.dtype),
-            pltpu.VMEM((C, 3), dtype),
+            pltpu.VMEM((4, C), pos.dtype),
+            pltpu.VMEM((4, C), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -170,41 +185,30 @@ def _interp_kernel(C, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_hbm,
     start = starts_ref[g]
     count = starts_ref[g + 1] - start
 
-    cp = pltpu.make_async_copy(pos_hbm.at[pl.ds(start, C)], pos_v, sem)
+    cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(start, C)], pos_v, sem)
     cp.start()
     cp.wait()
 
-    p = pos_v[:]
-    fx = p[:, 0:1] - jnp.floor(p[:, 0:1])
-    iy = jnp.floor(p[:, 1:2]).astype(jnp.int32)
-    iz = jnp.floor(p[:, 2:3]).astype(jnp.int32)
-    fy = p[:, 1:2] - jnp.floor(p[:, 1:2])
-    fz = p[:, 2:3] - jnp.floor(p[:, 2:3])
+    Sy, Sz, wx0, wx1 = _weights(pos_v[:], count, C, Y, Z)
 
-    ids_y = jax.lax.broadcasted_iota(jnp.int32, (C, Y), 1)
-    ids_z = jax.lax.broadcasted_iota(jnp.int32, (C, Z), 1)
-    Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
-        ids_y == jnp.mod(iy + 1, Y)
-    ) * fy
-    Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
-        ids_z == jnp.mod(iz + 1, Z)
-    ) * fz
-
-    comps = []
+    rows = []
     for c in range(3):
         acc = None
-        for u_ref, wx in ((u_lo, (1.0 - fx)), (u_hi, fx)):
-            A = jax.lax.dot_general(
-                Sy, u_ref[0, c],
+        for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
+            # t[y, p] = sum_z u[y, z] Sz[z, p]
+            t = jax.lax.dot_general(
+                u_ref[0, c], Sz,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=Sy.dtype,
-            )  # [C, Z]
-            t = jnp.sum(A * Sz, axis=1, keepdims=True) * wx  # [C, 1]
-            acc = t if acc is None else acc + t
-        comps.append(acc)
-    v_v[:] = jnp.concatenate(comps, axis=1)  # [C, 3]
+                preferred_element_type=Sz.dtype,
+            )  # [Y, C]
+            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx  # [1, C]
+            acc = v if acc is None else acc + v
+        rows.append(acc)
+    v_v[:] = jnp.concatenate(
+        rows + [jnp.zeros_like(rows[0])], axis=0
+    )  # [4, C], row 3 is sublane padding
 
-    cp_out = pltpu.make_async_copy(v_v, out_hbm.at[pl.ds(start, C)], sem)
+    cp_out = pltpu.make_async_copy(v_v, out_hbm.at[:, pl.ds(start, C)], sem)
     cp_out.start()
     cp_out.wait()
 
@@ -225,7 +229,8 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
     counts = jnp.diff(starts)
     overflow = jnp.sum(jnp.maximum(counts - C, 0))
 
-    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)])
+    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)]).T
+    pos_s = jnp.concatenate([pos_s, jnp.zeros((1, pos_s.shape[1]), p.dtype)])
     u_x = u.transpose(1, 0, 2, 3)  # [X, 3, Y, Z]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -240,8 +245,8 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, 3), pos.dtype),
-            pltpu.VMEM((C, 3), dtype),
+            pltpu.VMEM((4, C), pos.dtype),
+            pltpu.VMEM((4, C), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -249,10 +254,10 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
     v_s = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P + C, 3), dtype),
+        out_shape=jax.ShapeDtypeStruct((4, P + C), dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, pos_s, u_x, u_x)
     # un-sort
     inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
-    return v_s[:P][inv], overflow
+    return v_s[:3].T[:P][inv], overflow
