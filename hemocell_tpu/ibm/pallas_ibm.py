@@ -7,19 +7,22 @@ per-slab dense one-hot contractions executed on the MXU inside a Pallas
 kernel:
 
   * vertices are sorted by their base x-slab once per call (bitonic sort +
-    row permute in XLA) and stored component-major [3, P] so slab windows
-    are lane-aligned DMA slices (Mosaic requires 128-aligned slice lanes);
-  * the kernel grid runs over slabs; each program DMAs its slab's contiguous
-    vertex columns (scalar-prefetched offsets, fixed capacity window into a
-    tail-padded array — later programs overwrite earlier overhang; the grid
-    is sequential on the single TensorCore);
-  * one-hot interpolation matrices keep vertices in the LANE dimension
-    (Sy [Y, C], Sz [Z, C]) so no in-kernel transposes are needed:
-      spread:  out[y,z] = (Sy * a) @ Sz^T            (contract lanes)
-      interp:  t = u @ Sz  ->  v = sum_y Sy * t      (row reduce)
+    row permute in XLA) and stored component-major [4, P+pad] so windows are
+    lane-aligned;
+  * the kernel grid runs over slabs; each program DMAs a 128-aligned window
+    of sorted vertex columns that covers its slab (align-down start +
+    in-kernel masking on each vertex's true x-base — Mosaic requires
+    provably aligned dynamic slices, arbitrary slab starts are not);
+  * spread: out[y,z] = (Sy * a) @ Sz^T per component, x-weight split over
+    two block-spec'd outputs (rows g and g+1), vertices of other slabs
+    masked to zero;
+  * interpolation: t = u_row @ Sz -> v = sum_y Sy * t accumulated over rows
+    g and g+1; each program emits its whole window into its own output
+    block, and one XLA gather un-sorts the per-slab copies (each vertex
+    reads the block of its OWN slab, where it is always computed correctly).
 
 Wall-free domains only (boundary-aware renormalisation falls back to the
-jnp path); capacity overflow is returned for callers to assert on.
+jnp path); window overflow is returned for callers to assert on.
 """
 
 from __future__ import annotations
@@ -32,11 +35,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ALIGN = 128
+
 
 def slab_capacity(n_vertices: int, nx: int, safety: float = 4.0) -> int:
-    """Static per-slab capacity: safety * mean occupancy rounded up to 512."""
-    c = int(np.ceil(safety * max(1, n_vertices) / nx / 512.0) * 512)
-    return max(512, min(c, int(np.ceil(n_vertices / 512.0) * 512)))
+    """Static window size: safety * mean occupancy + alignment slack,
+    rounded up to 512."""
+    c = int(
+        np.ceil((safety * max(1, n_vertices) / nx + _ALIGN) / 512.0) * 512
+    )
+    return max(512, min(c, int(np.ceil((n_vertices + _ALIGN) / 512.0) * 512)))
 
 
 def _sort_by_slab(pos, X):
@@ -46,25 +54,33 @@ def _sort_by_slab(pos, X):
     starts = jnp.searchsorted(
         ix_s, jnp.arange(X + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    return order, starts
+    return order, ix_s, starts
 
 
-def _weights(pos3c, count, C, Y, Z):
-    """One-hot interpolation rows from a [3, C] position block.
+def _component_major(arr, pad_cols):
+    """[P, 3] -> [4, P+pad_cols] (sublane-padded, tail-padded)."""
+    P = arr.shape[0]
+    out = jnp.zeros((4, P + pad_cols), arr.dtype)
+    return out.at[:3, :P].set(arr.T)
 
-    Returns (Sy [Y, C], Sz [Z, C], wx0 [1, C], wx1 [1, C])."""
-    px = pos3c[0:1, :]  # [1, C]
-    py = pos3c[1:2, :]
-    pz = pos3c[2:3, :]
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) < count
-    ).astype(pos3c.dtype)
+
+def _window_weights(pos4c, g, X, C, Y, Z):
+    """Per-window one-hots; vertices not belonging to slab g are masked.
+
+    pos4c: [4, C] (row 3 padding; padded tail columns hold position 0 whose
+    x-base 0 only matches slab g=0 — callers pad with x = -1 instead).
+    Returns (Sy [Y,C], Sz [Z,C], wx0 [1,C], wx1 [1,C])."""
+    px = pos4c[0:1, :]
+    py = pos4c[1:2, :]
+    pz = pos4c[2:3, :]
+    ix = jnp.floor(px).astype(jnp.int32)
+    mine = (ix == g).astype(px.dtype)  # [1, C]
 
     fx = px - jnp.floor(px)
-    wx0 = (1.0 - fx) * valid
-    wx1 = fx * valid
+    wx0 = (1.0 - fx) * mine
+    wx1 = fx * mine
 
-    iy = jnp.floor(py).astype(jnp.int32)  # [1, C]
+    iy = jnp.floor(py).astype(jnp.int32)
     iz = jnp.floor(pz).astype(jnp.int32)
     fy = py - jnp.floor(py)
     fz = pz - jnp.floor(pz)
@@ -73,34 +89,37 @@ def _weights(pos3c, count, C, Y, Z):
     ids_z = jax.lax.broadcasted_iota(jnp.int32, (Z, C), 0)
     Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
         ids_y == jnp.mod(iy + 1, Y)
-    ) * fy  # [Y, C]
+    ) * fy
     Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
         ids_z == jnp.mod(iz + 1, Z)
-    ) * fz  # [Z, C]
+    ) * fz
     return Sy, Sz, wx0, wx1
+
+
+def _aligned_window(starts_ref, g):
+    start = starts_ref[g]
+    al = (start // _ALIGN) * _ALIGN
+    return pl.multiple_of(al, _ALIGN)
 
 
 # ---------------------------------------------------------------------------
 # spread
 
 
-def _spread_kernel(C, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
+def _spread_kernel(C, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
                    pos_v, F_v, sem):
     g = pl.program_id(0)
-    start = starts_ref[g]
-    count = starts_ref[g + 1] - start
+    al = _aligned_window(starts_ref, g)
 
-    cp_pos = pltpu.make_async_copy(
-        pos_hbm.at[:, pl.ds(start, C)], pos_v, sem
-    )
+    cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp_pos.start()
     cp_pos.wait()
-    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(start, C)], F_v, sem)
+    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(al, C)], F_v, sem)
     cp_f.start()
     cp_f.wait()
 
-    Sy, Sz, wx0, wx1 = _weights(pos_v[:], count, C, Y, Z)
-    F = F_v[:]  # [3, C]
+    Sy, Sz, wx0, wx1 = _window_weights(pos_v[:], g, X, C, Y, Z)
+    F = F_v[:]
 
     for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
         planes = []
@@ -111,17 +130,16 @@ def _spread_kernel(C, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
                     M, Sz,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=M.dtype,
-                )  # [Y, Z]
+                )
             )
-        out_ref[0] = jnp.stack(planes, axis=0)  # [3, Y, Z]
+        out_ref[0] = jnp.stack(planes, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
 def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
     """[P,3] forces -> [3,X,Y,Z] field (pure trilinear, periodic).
 
-    Returns (field, overflow).
-    """
+    Returns (field, overflow)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, Y, Z = (int(s) for s in shape)
@@ -131,16 +149,19 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
 
     fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
     p = jnp.mod(pos, fshape[None, :])
-    order, starts = _sort_by_slab(p, X)
+    order, ix_s, starts = _sort_by_slab(p, X)
     counts = jnp.diff(starts)
-    overflow = jnp.sum(jnp.maximum(counts - C, 0))
+    overflow = jnp.sum(
+        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
+    )
 
-    # component-major, tail-padded so every [start, start+C) window fits;
-    # dim0 padded 3->4 for sublane-aligned DMA slices
-    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)]).T
-    pos_s = jnp.concatenate([pos_s, jnp.zeros((1, pos_s.shape[1]), p.dtype)])
-    F_s = jnp.concatenate([forces[order], jnp.zeros((C, 3), dtype)]).T
-    F_s = jnp.concatenate([F_s, jnp.zeros((1, F_s.shape[1]), dtype)])
+    p_sorted = p[order].at[:, 0].set(
+        jnp.clip(p[order][:, 0], 0.0, X - 1e-6)
+    )
+    pos_cm = _component_major(p_sorted, C)
+    # tail columns: x = -1 never matches any slab
+    pos_cm = pos_cm.at[0, P:].set(-1.0)
+    F_cm = _component_major(forces[order], C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -161,7 +182,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_spread_kernel, C, Y, Z)
+    kernel = functools.partial(_spread_kernel, C, X, Y, Z)
     lo, hi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -170,7 +191,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
         ),
         interpret=interpret,
-    )(starts, pos_s, F_s)
+    )(starts, pos_cm, F_cm)
     field = lo + hi
     return field.transpose(1, 0, 2, 3), overflow
 
@@ -179,38 +200,31 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
 # interpolation
 
 
-def _interp_kernel(C, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_hbm,
-                   pos_v, v_v, sem):
+def _interp_kernel(C, X, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
+                   pos_v, sem):
     g = pl.program_id(0)
-    start = starts_ref[g]
-    count = starts_ref[g + 1] - start
+    al = _aligned_window(starts_ref, g)
 
-    cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(start, C)], pos_v, sem)
+    cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp.start()
     cp.wait()
 
-    Sy, Sz, wx0, wx1 = _weights(pos_v[:], count, C, Y, Z)
+    Sy, Sz, wx0, wx1 = _window_weights(pos_v[:], g, X, C, Y, Z)
 
     rows = []
     for c in range(3):
         acc = None
         for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
-            # t[y, p] = sum_z u[y, z] Sz[z, p]
             t = jax.lax.dot_general(
                 u_ref[0, c], Sz,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=Sz.dtype,
             )  # [Y, C]
-            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx  # [1, C]
+            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
             acc = v if acc is None else acc + v
         rows.append(acc)
-    v_v[:] = jnp.concatenate(
-        rows + [jnp.zeros_like(rows[0])], axis=0
-    )  # [4, C], row 3 is sublane padding
-
-    cp_out = pltpu.make_async_copy(v_v, out_hbm.at[:, pl.ds(start, C)], sem)
-    cp_out.start()
-    cp_out.wait()
+    rows.append(jnp.zeros_like(rows[0]))
+    out_ref[0] = jnp.concatenate(rows, axis=0)  # [4, C]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
@@ -225,13 +239,16 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
 
     fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
     p = jnp.mod(pos, fshape[None, :])
-    order, starts = _sort_by_slab(p, X)
+    order, ix_s, starts = _sort_by_slab(p, X)
     counts = jnp.diff(starts)
-    overflow = jnp.sum(jnp.maximum(counts - C, 0))
+    overflow = jnp.sum(
+        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
+    )
 
-    pos_s = jnp.concatenate([p[order], jnp.zeros((C, 3), p.dtype)]).T
-    pos_s = jnp.concatenate([pos_s, jnp.zeros((1, pos_s.shape[1]), p.dtype)])
-    u_x = u.transpose(1, 0, 2, 3)  # [X, 3, Y, Z]
+    p_sorted = p[order].at[:, 0].set(jnp.clip(p[order][:, 0], 0.0, X - 1e-6))
+    pos_cm = _component_major(p_sorted, C)
+    pos_cm = pos_cm.at[0, P:].set(-1.0)
+    u_x = u.transpose(1, 0, 2, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -243,21 +260,29 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
             pl.BlockSpec((1, 3, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((1, 4, C), lambda g, s: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, C), pos.dtype),
-            pltpu.VMEM((4, C), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_interp_kernel, C, Y, Z)
-    v_s = pl.pallas_call(
+    kernel = functools.partial(_interp_kernel, C, X, Y, Z)
+    blocks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, P + C), dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, pos_s, u_x, u_x)
-    # un-sort
+        out_shape=jax.ShapeDtypeStruct((X, 4, C), dtype),
+    interpret=interpret,
+    )(starts, pos_cm, u_x, u_x)
+    # un-sort: sorted vertex i sits at column (i - align_down(start_{g(i)}))
+    # of block g(i) — always computed correctly in its own slab's window
+    g_of = ix_s  # [P]
+    al = (starts[:-1] // _ALIGN) * _ALIGN
+    col = jnp.arange(P, dtype=jnp.int32) - al[g_of]
+    flat = (g_of * 4) * C + col  # index into blocks.reshape(X*4*C) row 0
+    blocks_flat = blocks.reshape(-1)
+    vals_sorted = jnp.stack(
+        [blocks_flat[flat + c * C] for c in range(3)], axis=1
+    )  # [P, 3]
     inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
-    return v_s[:3].T[:P][inv], overflow
+    return vals_sorted[inv], overflow
