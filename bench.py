@@ -53,7 +53,6 @@ def main():
         particle_every=5,
         material_every=20,
         repulsion=False,
-        spread_mode="pallas",
     )
     runner = build_runner(cfg)
     state = runner(state, 1)  # compile + warmup

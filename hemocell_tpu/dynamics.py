@@ -109,9 +109,10 @@ class StepConfig:
     interior_every: int = 0
     # solidification period (0 = disabled; reference: solidifyTimescale)
     solidify_every: int = 0
-    # force spreading: 'scatter' (XLA scatter-add) or 'binned' (dense MXU
-    # matmuls); scatter measures faster in-context on v5e at 64^3/70k verts
-    spread_mode: str = "scatter"
+    # IBM exchange: None = auto (Pallas sorted-slab kernels on wall-free TPU
+    # domains — 7x faster than scatter at 64^3/70k verts — else XLA
+    # scatter); or force 'scatter' | 'binned' | 'pallas'
+    spread_mode: Optional[str] = None
 
 
 def _every(it, k, fn, operand, fallback):
@@ -228,9 +229,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                               constant_values=0.5)
             act_pad = jnp.pad(active, (0, pad))
             pos_w = jnp.mod(pos_pad, fshape[None, :])
-            use_pallas_ibm = (
-                cfg.spread_mode == "pallas" and not has_boundaries
-            )
+            mode = cfg.spread_mode
+            if mode is None:
+                mode = (
+                    "pallas"
+                    if (not has_boundaries and jax.default_backend() == "tpu")
+                    else "scatter"
+                )
+            use_pallas_ibm = mode == "pallas" and not has_boundaries
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import slab_capacity as _slab_cap
 
@@ -265,7 +271,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     pos_w, fdep, shape, capacity=ibm_capacity
                 )
                 force_field = force_field + field
-            elif cfg.spread_mode == "binned":
+            elif mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
 
                 # renormalised deposit: scale by 1/(fluid weight total) and

@@ -82,7 +82,7 @@ def rbc_suspension(
     particle_every: int = 1,
     material_every: int = 1,
     seed: int = 0,
-    spread_mode: str = "scatter",
+    spread_mode=None,
 ):
     """Periodic box of RBCs, optionally sheared by two moving walls (z faces)
     or driven by a body force.  Returns (cfg, state, meta)."""
