@@ -87,6 +87,31 @@ def main():
         "platform": platform,
         "s_per_iteration": round(dt_coupled / n, 6),
     }
+
+    # ---- the reference pipeflow case itself (voxelized tube, RBC+PLT) ---
+    pipeflow_cfg = "/root/reference/examples/pipeflow/config.xml"
+    if os.path.exists(pipeflow_cfg):
+        try:
+            import sys
+
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                            "examples"))
+            from pipeflow import build_pipeflow
+
+            hc = build_pipeflow(pipeflow_cfg)
+            hc.iterate(1)
+            hc.block()
+            t0 = time.perf_counter()
+            hc.iterate(n)
+            hc.block()
+            dt_pipe = time.perf_counter() - t0
+            nodes_pipe = hc.shape[0] * hc.shape[1] * hc.shape[2]
+            result["pipeflow_mlups"] = round(nodes_pipe * n / dt_pipe / 1e6, 3)
+            result["pipeflow_cells"] = hc.alive_count(0) + hc.alive_count(1)
+            result["pipeflow_s_per_iteration"] = round(dt_pipe / n, 6)
+        except Exception as e:  # never break the headline metric
+            result["pipeflow_error"] = str(e)[:200]
+
     print(json.dumps(result))
 
 

@@ -232,16 +232,26 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             mode = cfg.spread_mode
             if mode is None:
                 mode = (
-                    "pallas"
-                    if (not has_boundaries and jax.default_backend() == "tpu")
-                    else "scatter"
+                    "pallas" if jax.default_backend() == "tpu" else "scatter"
                 )
-            use_pallas_ibm = mode == "pallas" and not has_boundaries
+            # solidify mutates flags at runtime; the Pallas mask channel
+            # handles static walls only
+            use_pallas_ibm = mode == "pallas" and not cfg.solidify_every
             if use_pallas_ibm:
-                from .ibm.pallas_ibm import slab_capacity as _slab_cap
+                from .ibm.pallas_ibm import pallas_interp, slab_capacity
 
-                ibm_capacity = _slab_cap(P_pad, shape[0])
+                ibm_capacity = slab_capacity(P_pad, shape[0])
                 idx = w = wtot = None
+                fluid_mask3 = (flags == 0).astype(cfg.dtype)
+                if has_boundaries:
+                    # boundary-aware renormalisation denominator: trilinear
+                    # interpolation of the fluid mask (equals the reference's
+                    # per-vertex fluid-weight total)
+                    m4, _ = pallas_interp(
+                        pos_w, fluid_mask3[None], shape,
+                        capacity=ibm_capacity,
+                    )
+                    wtot = m4[:, 0]
             else:
                 # kernel computed once per step, reused for interpolation
                 # (the reference caches kernelWeights the same way,
@@ -266,10 +276,15 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import pallas_spread
 
-                fdep = ftot * act_pad[:, None]
+                scale = act_pad
+                if has_boundaries:
+                    scale = scale / jnp.maximum(wtot, 1e-30)
+                fdep = ftot * scale[:, None]
                 field, _ = pallas_spread(
                     pos_w, fdep, shape, capacity=ibm_capacity
                 )
+                if has_boundaries:
+                    field = field * fluid_mask3[None]
                 force_field = force_field + field
             elif mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
@@ -349,8 +364,17 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 if use_pallas_ibm:
                     from .ibm.pallas_ibm import pallas_interp
 
-                    v, _ = pallas_interp(pos_w, u, shape,
-                                         capacity=ibm_capacity)
+                    if has_boundaries:
+                        fields4 = jnp.concatenate(
+                            [u * fluid_mask3[None], fluid_mask3[None]]
+                        )
+                        v4, _ = pallas_interp(
+                            pos_w, fields4, shape, capacity=ibm_capacity
+                        )
+                        v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
+                    else:
+                        v, _ = pallas_interp(pos_w, u, shape,
+                                             capacity=ibm_capacity)
                     return v * act_pad[:, None]
                 return coupling.interpolate(u, idx, w)
 

@@ -434,6 +434,71 @@ class HemoCell:
         f_lu = cellinfo.mean_force_magnitude(cs.force + cs.force_repulsion, cs.alive)
         return float(f_lu) * self.params.df * 1e12
 
+    # ------------------------------------------------------------------
+    # reference-style camelCase aliases (hemocell.h API surface)
+
+    def setMaterialTimeScaleSeparation(self, name: str, timescale: int):
+        for ct in self.cell_types:
+            if ct.name == name:
+                ct.timescale = int(timescale)
+                self._dirty = True
+                return
+        raise KeyError(name)
+
+    def setParticleVelocityUpdateTimeScaleSeparation(self, timescale: int):
+        self.particle_every = int(timescale)
+        self._dirty = True
+
+    def setRepulsion(self, k_rep_si: float, cutoff_lu: float):
+        self.enable_repulsion(k_rep_si / self.params.df, cutoff_lu)
+
+    def setRepulsionTimeScaleSeperation(self, every: int):  # sic (reference)
+        self.repulsion_every = int(every)
+        self._dirty = True
+
+    def enableBoundaryParticles(self, k_rep_si: float, cutoff_lu: float,
+                                every: int = 1):
+        self.enable_boundary_repulsion(
+            k_rep_si / self.params.df, cutoff_lu, every
+        )
+
+    def setInitialMinimumDistanceFromSolid(self, name: str, distance_um: float):
+        for ct in self.cell_types:
+            if ct.name == name:
+                ct.minimum_distance_from_solid_um = float(distance_um)
+                return
+        raise KeyError(name)
+
+    def setSystemPeriodicity(self, axis, value):
+        self.set_system_periodicity(axis, value)
+
+    def loadParticles(self, *a, **kw):
+        return self.load_particles(*a, **kw)
+
+    def addCellType(self, name, model="RbcHighOrderModel", construct_type=None):
+        return self.add_cell_type(name, model, construct_type)
+
+    def initializeLattice(self, *a, **kw):
+        return self.initialize_lattice(*a, **kw)
+
+    def writeOutput(self, *a, **kw):
+        return self.write_output(*a, **kw)
+
+    def saveCheckPoint(self, *a, **kw):
+        return self.save_checkpoint(*a, **kw)
+
+    def loadCheckPoint(self, *a, **kw):
+        return self.load_checkpoint(*a, **kw)
+
+    def setOutputs(self, name, outputs):
+        """Per-type output selection kept for API parity; write_output
+        currently emits the full validated set."""
+        self._outputs = getattr(self, "_outputs", {})
+        self._outputs[name] = list(outputs)
+
+    def setFluidOutputs(self, outputs):
+        self._fluid_outputs = list(outputs)
+
     def sanity_check(self, strict=False):
         """Validated-envelope checks (reference: HemoCell::sanityCheck,
         core/hemoCell.cpp:585-696): tau/nu ranges, velocity bound, timescale

@@ -200,7 +200,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
 # interpolation
 
 
-def _interp_kernel(C, X, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
+def _interp_kernel(C, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
                    pos_v, sem):
     g = pl.program_id(0)
     al = _aligned_window(starts_ref, g)
@@ -212,7 +212,7 @@ def _interp_kernel(C, X, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
     Sy, Sz, wx0, wx1 = _window_weights(pos_v[:], g, X, C, Y, Z)
 
     rows = []
-    for c in range(3):
+    for c in range(NCH):
         acc = None
         for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
             t = jax.lax.dot_general(
@@ -223,16 +223,21 @@ def _interp_kernel(C, X, Y, Z, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
             v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
             acc = v if acc is None else acc + v
         rows.append(acc)
-    rows.append(jnp.zeros_like(rows[0]))
+    for _ in range(4 - NCH):
+        rows.append(jnp.zeros_like(rows[0]))
     out_ref[0] = jnp.concatenate(rows, axis=0)  # [4, C]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
 def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
-    """Interpolate u [3,X,Y,Z] to vertices [P,3] (pure trilinear)."""
+    """Interpolate u [NCH<=4, X, Y, Z] to vertices [P, NCH] (pure
+    trilinear).  Extra channels (e.g. a fluid mask for boundary-aware
+    renormalisation) ride along for free."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, Y, Z = (int(s) for s in shape)
+    NCH = u.shape[0]
+    assert NCH <= 4
     P = pos.shape[0]
     C = capacity
     dtype = u.dtype
@@ -255,9 +260,9 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
         grid=(X,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: (g, 0, 0, 0),
+            pl.BlockSpec((1, NCH, Y, Z), lambda g, s: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
+            pl.BlockSpec((1, NCH, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, C), lambda g, s: (g, 0, 0),
@@ -267,7 +272,7 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_interp_kernel, C, X, Y, Z)
+    kernel = functools.partial(_interp_kernel, C, X, Y, Z, NCH)
     blocks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -282,7 +287,7 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
     flat = (g_of * 4) * C + col  # index into blocks.reshape(X*4*C) row 0
     blocks_flat = blocks.reshape(-1)
     vals_sorted = jnp.stack(
-        [blocks_flat[flat + c * C] for c in range(3)], axis=1
-    )  # [P, 3]
+        [blocks_flat[flat + c * C] for c in range(NCH)], axis=1
+    )  # [P, NCH]
     inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
     return vals_sorted[inv], overflow
