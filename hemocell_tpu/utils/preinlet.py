@@ -43,17 +43,32 @@ class PreInletState(NamedTuple):
     crossings: tuple  # per type: int32 [NC] images already injected
 
 
+def load_pulse_profile(csv_path: str):
+    """Normalized pulsatile velocity profile from a CSV (one value per line,
+    mean ~1), the format the reference's setDrivingForceTimeDependent reads
+    (helper/preInlet.cpp:802-911)."""
+    import numpy as _np
+
+    vals = _np.loadtxt(csv_path, delimiter=",").reshape(-1)
+    return jnp.asarray(vals, jnp.float32)
+
+
 def make_coupled_stepper(
     pre_cfg: StepConfig,
     main_cfg: StepConfig,
     flow_axis: int = 0,
     target_mean_velocity: float = 0.0,
     drive_gain: float = 1e-3,
+    pulse_profile=None,
+    pulse_period_steps: int = 0,
 ):
     """Build a jitted (PreInletState) -> PreInletState coupled step.
 
     pre_cfg must be periodic along flow_axis; main_cfg must have
     FLAG_VELOCITY nodes on its inlet plane (index 0 along flow_axis).
+    pulse_profile: optional [T] normalized waveform scaling the target mean
+    velocity over pulse_period_steps (pulsatile driving,
+    helper/preInlet.cpp:802-911).
     """
     assert flow_axis == 0, "flow along x for now"
     pre_step = build_step(pre_cfg)
@@ -62,13 +77,18 @@ def make_coupled_stepper(
     dtype = main_cfg.dtype
 
     def step(st: PreInletState) -> PreInletState:
-        # adaptive body force toward the target mean velocity
+        # adaptive body force toward the (possibly pulsatile) target velocity
         zero_force = jnp.zeros((3,) + tuple(pre_cfg.shape), dtype)
         _, u_pre = lbm.macroscopic(st.pre.f, zero_force)
         u_mean = u_pre[0].mean()
         bf = st.body_force
         if target_mean_velocity > 0.0:
-            bf = bf * (1.0 + drive_gain * jnp.sign(target_mean_velocity - u_mean))
+            target = target_mean_velocity
+            if pulse_profile is not None and pulse_period_steps > 0:
+                T = pulse_profile.shape[0]
+                phase = (st.pre.it * T) // pulse_period_steps
+                target = target * pulse_profile[jnp.mod(phase, T)]
+            bf = bf * (1.0 + drive_gain * jnp.sign(target - u_mean))
 
         # the adaptive drive flows through the dynamic body-force override
         pre_state = st.pre._replace(
