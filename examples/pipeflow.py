@@ -43,9 +43,13 @@ def build_pipeflow(config_path: str, outdir: str | None = None) -> HemoCell:
     hc.params.pipe_flow(cfg, fluid_area)
 
     hc.initialize_lattice(flags=flags)
-    hc.add_cell_type("RBC", "RbcHighOrderModel")
-    hc.cell_types[0].minimum_distance_from_solid_um = 0.5  # pipeflow.cpp:91
-    hc.add_cell_type("PLT", "PltSimpleModel")
+    # add whichever cell types the case directory provides (pipeflow ships
+    # RBC+PLT; parachuting only RBC; etc.)
+    if os.path.exists(os.path.join(cfg.directory, "RBC.xml")):
+        hc.add_cell_type("RBC", "RbcHighOrderModel")
+        hc.cell_types[-1].minimum_distance_from_solid_um = 0.5  # pipeflow.cpp:91
+    if os.path.exists(os.path.join(cfg.directory, "PLT.xml")):
+        hc.add_cell_type("PLT", "PltSimpleModel")
     hc.load_particles()
 
     # driving force (pipeflow.cpp:80)
@@ -71,9 +75,8 @@ def main():
     tmeas = cfg["sim"].get("tmeas", int, 1000)
     tcheckpoint = cfg["sim"].get("tcheckpoint", int, 0)
 
-    n_rbc = hc.alive_count(0)
-    n_plt = hc.alive_count(1)
-    print(f"(pipeflow) cells loaded: {n_rbc + n_plt} (RBC {n_rbc}, PLT {n_plt})")
+    counts = {ct.name: hc.alive_count(i) for i, ct in enumerate(hc.cell_types)}
+    print(f"(pipeflow) cells loaded: {sum(counts.values())} {counts}")
     print(f"(pipeflow) {hc.params.describe()}")
 
     warmup = cfg["parameters"].get("warmup", int, 0) if "parameters" in cfg else 0
@@ -92,7 +95,8 @@ def main():
         visc = (hc.params.u_lbm_max * 0.5) / max(umean, 1e-30)
         sec_per_it = (time.time() - t_wall) / max(hc.iter, 1)
         print(
-            f"(main) iter {hc.iter}: cells {hc.alive_count(0)+hc.alive_count(1)}"
+            f"(main) iter {hc.iter}: cells "
+            f"{sum(hc.alive_count(i) for i in range(len(hc.cell_types)))}"
             f" | u max {umax * hc.params.dx / hc.params.dt:.4g} m/s"
             f" mean {umean * hc.params.dx / hc.params.dt:.4g} m/s"
             f" | rel.app.viscosity {visc:.3f}"
