@@ -168,7 +168,22 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
         # ---- 1: repulsion -------------------------------------------------
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
+            rep_mode = cfg.spread_mode
+            if rep_mode is None:
+                rep_mode = (
+                    "pallas" if jax.default_backend() == "tpu" else "scatter"
+                )
+
             def _rep(p):
+                if rep_mode == "pallas":
+                    from .cells.pallas_repulsion import pallas_repulsion
+
+                    f, _ = pallas_repulsion(
+                        p, cell_gid, active, shape,
+                        float(cfg.repulsion_constant),
+                        float(cfg.repulsion_cutoff),
+                    )
+                    return f
                 return repulsion_forces(
                     p, cell_gid, active, shape,
                     cfg.repulsion_constant, cfg.repulsion_cutoff,
