@@ -54,6 +54,8 @@ class SimState(NamedTuple):
     # dynamic body-force override [3] (adaptive preInlet drive,
     # reference: helper/preInlet.cpp:742-938)
     body_force_state: Any = None
+    # Lees-Edwards accumulated x-displacement (scalar; helper/leesEdwardsBC.h)
+    le_displacement: Any = None
 
 
 @dataclass
@@ -113,6 +115,9 @@ class StepConfig:
     # domains — 7x faster than scatter at 64^3/70k verts — else XLA
     # scatter); or force 'scatter' | 'binned' | 'pallas'
     spread_mode: Optional[str] = None
+    # Lees-Edwards sheared periodicity across the z faces (None = off):
+    # the relative image velocity U = shear_rate * Z
+    lees_edwards_velocity: Optional[float] = None
 
 
 def _every(it, k, fn, operand, fallback):
@@ -346,19 +351,29 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             omega = omega_field_new
 
         # ---- 3: fluid collide + stream ------------------------------------
-        use_pallas = cfg.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            from .fluid.pallas_lbm import stream_collide_pallas
+        le_disp_new = state.le_displacement
+        if cfg.lees_edwards_velocity is not None:
+            from .fluid.lees_edwards import le_stream_collide
 
-            f_new = stream_collide_pallas(
-                state.f, force_field, omega, flags, bc_velocity
+            f_new = le_stream_collide(
+                state.f, force_field, omega, state.le_displacement,
+                cfg.lees_edwards_velocity,
             )
+            le_disp_new = state.le_displacement + cfg.lees_edwards_velocity
         else:
-            f_new = lbm.stream_collide(
-                state.f, force_field, omega, flags, bc_velocity
-            )
+            use_pallas = cfg.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from .fluid.pallas_lbm import stream_collide_pallas
+
+                f_new = stream_collide_pallas(
+                    state.f, force_field, omega, flags, bc_velocity
+                )
+            else:
+                f_new = lbm.stream_collide(
+                    state.f, force_field, omega, flags, bc_velocity
+                )
 
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
         cepac_new = state.cepac
@@ -527,7 +542,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         cepac=cepac_new, omega_field=omega_field_new,
                         flags_state=flags_new, binding_mask=binding_new,
                         bc_state=state.bc_state,
-                        body_force_state=state.body_force_state)
+                        body_force_state=state.body_force_state,
+                        le_displacement=le_disp_new)
 
     return step
 
@@ -554,6 +570,9 @@ def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
     omega_field = None
     if cfg.interior_every:
         omega_field = jnp.full(cfg.shape, cfg.omega, dtype=cfg.dtype)
+    le_disp = None
+    if cfg.lees_edwards_velocity is not None:
+        le_disp = jnp.asarray(0.0, cfg.dtype)
     flags_state = binding = None
     if cfg.solidify_every:
         from .cells.repulsion import boundary_neighbor_mask
@@ -564,4 +583,5 @@ def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
         )
     return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states),
                     cepac=cepac, omega_field=omega_field,
-                    flags_state=flags_state, binding_mask=binding)
+                    flags_state=flags_state, binding_mask=binding,
+                    le_displacement=le_disp)
