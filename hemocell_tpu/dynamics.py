@@ -248,7 +248,18 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             pos_pad = jnp.pad(pos_flat, ((0, pad), (0, 0)),
                               constant_values=0.5)
             act_pad = jnp.pad(active, (0, pad))
-            pos_w = jnp.mod(pos_pad, fshape[None, :])
+            if cfg.lees_edwards_velocity is not None:
+                # Lees-Edwards image mapping: a vertex in z-image w sees the
+                # fluid displaced by w*d(t) in x and moving at w*U
+                le_w = jnp.floor(pos_pad[:, 2] / fshape[2])
+                x_eff = pos_pad[:, 0] - le_w * state.le_displacement
+                pos_w = jnp.stack(
+                    [jnp.mod(x_eff, fshape[0]),
+                     jnp.mod(pos_pad[:, 1], fshape[1]),
+                     jnp.mod(pos_pad[:, 2], fshape[2])], axis=1)
+            else:
+                le_w = None
+                pos_w = jnp.mod(pos_pad, fshape[None, :])
             mode = cfg.spread_mode
             if mode is None:
                 mode = (
@@ -415,6 +426,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             vel_flat = _every(
                 it, cfg.particle_every, _interp, None, vel_fallback
             )
+            if cfg.lees_edwards_velocity is not None:
+                # galilean frame shift of the wrapped image
+                vel_flat = vel_flat.at[:, 0].add(
+                    le_w * cfg.lees_edwards_velocity
+                )
             offset = 0
             for k, cs in enumerate(cells):
                 nc, nv = cs.pos.shape[0], cs.pos.shape[1]
