@@ -265,9 +265,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 mode = (
                     "pallas" if jax.default_backend() == "tpu" else "scatter"
                 )
-            # solidify mutates flags at runtime; the Pallas mask channel
-            # handles static walls only
-            use_pallas_ibm = mode == "pallas" and not cfg.solidify_every
+            # the Pallas mask channel reads the runtime flags, so solidify's
+            # mutated walls renormalise correctly too
+            use_pallas_ibm = mode == "pallas"
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import pallas_interp, slab_capacity
 
