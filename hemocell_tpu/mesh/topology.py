@@ -63,15 +63,16 @@ class CellTopology:
 
     def __post_init__(self):
         nv = self.num_vertices
-        pairs = np.zeros((nv, 6, 2), dtype=np.int32)
-        mask = np.zeros((nv, 6), dtype=bool)
+        cap = self.ring.shape[1]
+        pairs = np.zeros((nv, cap, 2), dtype=np.int32)
+        mask = np.zeros((nv, cap), dtype=bool)
         for i in range(nv):
             n = int(self.ring_n[i])
             for j in range(n):
                 pairs[i, j, 0] = self.ring[i, j]
                 pairs[i, j, 1] = self.ring[i, (j + 1) % n]
                 mask[i, j] = True
-            for j in range(n, 6):
+            for j in range(n, cap):
                 pairs[i, j] = pairs[i, 0]
         self.ring_pairs = pairs
         self.ring_mask = mask
@@ -138,7 +139,7 @@ def build_topology(
         edge_angle_eq[e] = np.arctan2(np.dot(np.cross(n1, n2), euv), np.dot(n1, n2))
 
     # --- ordered 1-rings ---------------------------------------------------
-    ring = np.full((nv, 6), -1, dtype=np.int32)
+    ring = None  # allocated after counting (capacity = max valence)
     ring_n = np.zeros(nv, dtype=np.int32)
     # first neighbour: reference uses first edge touching the vertex in edge
     # scan order (commonCellConstants.cpp:215-228)
@@ -154,8 +155,10 @@ def build_topology(
         counts[i] += 1
         counts[j] += 1
     ring_n[:] = counts
-    if counts.max() > 6:
-        raise ValueError("mesh has a vertex with more than 6 neighbours")
+    # the reference caps rings at 6 (hemo::Array<plint,6>) and silently
+    # truncates larger valences; we size to the actual maximum instead
+    ring_cap = max(6, int(counts.max()))
+    ring = np.full((nv, ring_cap), -1, dtype=np.int32)
     for v in range(nv):
         cur = int(first_nb[v])
         ring[v, 0] = cur
