@@ -106,8 +106,8 @@ def _aligned_window(starts_ref, g):
 # spread
 
 
-def _spread_kernel(C, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
-                   pos_v, F_v, sem):
+def _spread_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo,
+                   out_hi, pos_v, F_v, sem):
     g = pl.program_id(0)
     al = _aligned_window(starts_ref, g)
 
@@ -118,21 +118,36 @@ def _spread_kernel(C, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo, out_hi,
     cp_f.start()
     cp_f.wait()
 
-    Sy, Sz, wx0, wx1 = _window_weights(pos_v[:], g, X, C, Y, Z)
-    F = F_v[:]
-
-    for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
-        planes = []
-        for c in range(3):
-            M = Sy * (F[c : c + 1, :] * wx)  # [Y, C]
-            planes.append(
-                jax.lax.dot_general(
-                    M, Sz,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=M.dtype,
+    # chunk the window so the one-hot matrices fit VMEM at large capacity
+    acc = [None, None]
+    for ci in range(C // CH):
+        sl = pl.ds(ci * CH, CH)
+        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        F = F_v[:, sl]
+        for oi, wx in ((0, wx0), (1, wx1)):
+            planes = []
+            for c in range(3):
+                M = Sy * (F[c : c + 1, :] * wx)  # [Y, CH]
+                planes.append(
+                    jax.lax.dot_general(
+                        M, Sz,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=M.dtype,
+                    )
                 )
-            )
-        out_ref[0] = jnp.stack(planes, axis=0)
+            p3 = jnp.stack(planes, axis=0)
+            acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
+    out_lo[0] = acc[0]
+    out_hi[0] = acc[1]
+
+
+def _pick_chunk(C, Y, Z, budget=4 * 2**20):
+    """Largest 512-multiple chunk whose one-hot working set fits budget."""
+    per = (Y + Z + 2 * Y) * 4  # Sy + Sz + M temporaries per column
+    ch = max(512, (budget // per) // 512 * 512)
+    while C % ch:
+        ch -= 512
+    return max(ch, 512)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
@@ -182,7 +197,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_spread_kernel, C, X, Y, Z)
+    kernel = functools.partial(_spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z)
     lo, hi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -200,8 +215,8 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
 # interpolation
 
 
-def _interp_kernel(C, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
-                   pos_v, sem):
+def _interp_kernel(C, CH, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi,
+                   out_ref, pos_v, sem):
     g = pl.program_id(0)
     al = _aligned_window(starts_ref, g)
 
@@ -209,23 +224,24 @@ def _interp_kernel(C, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi, out_ref,
     cp.start()
     cp.wait()
 
-    Sy, Sz, wx0, wx1 = _window_weights(pos_v[:], g, X, C, Y, Z)
-
-    rows = []
-    for c in range(NCH):
-        acc = None
-        for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
-            t = jax.lax.dot_general(
-                u_ref[0, c], Sz,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=Sz.dtype,
-            )  # [Y, C]
-            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
-            acc = v if acc is None else acc + v
-        rows.append(acc)
-    for _ in range(4 - NCH):
-        rows.append(jnp.zeros_like(rows[0]))
-    out_ref[0] = jnp.concatenate(rows, axis=0)  # [4, C]
+    for ci in range(C // CH):
+        sl = pl.ds(ci * CH, CH)
+        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        rows = []
+        for c in range(NCH):
+            acc = None
+            for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
+                t = jax.lax.dot_general(
+                    u_ref[0, c], Sz,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=Sz.dtype,
+                )  # [Y, CH]
+                v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
+                acc = v if acc is None else acc + v
+            rows.append(acc)
+        for _ in range(4 - NCH):
+            rows.append(jnp.zeros_like(rows[0]))
+        out_ref[0, :, sl] = jnp.concatenate(rows, axis=0)  # [4, CH]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
@@ -272,7 +288,9 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_interp_kernel, C, X, Y, Z, NCH)
+    kernel = functools.partial(
+        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH
+    )
     blocks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
