@@ -107,7 +107,7 @@ def _aligned_window(starts_ref, g):
 
 
 def _spread_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo,
-                   out_hi, pos_v, F_v, sem):
+                   out_hi, pos_v, F_v, plane_v, sem):
     g = pl.program_id(0)
     al = _aligned_window(starts_ref, g)
 
@@ -137,8 +137,17 @@ def _spread_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo,
                 )
             p3 = jnp.stack(planes, axis=0)
             acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
-    out_lo[0] = acc[0]
-    out_hi[0] = acc[1]
+    # outputs live in HBM (a VMEM-resident [X,3,Y,Z] pair blows the budget
+    # at 128^3): stage the planes in scratch and DMA them out
+    plane_v[:] = acc[0]
+    cp_lo = pltpu.make_async_copy(plane_v, out_lo.at[g], sem)
+    cp_lo.start()
+    cp_lo.wait()
+    plane_v[:] = acc[1]
+    gp1 = jax.lax.rem(g + 1, jnp.int32(X))
+    cp_hi = pltpu.make_async_copy(plane_v, out_hi.at[gp1], sem)
+    cp_hi.start()
+    cp_hi.wait()
 
 
 def _pick_chunk(C, Y, Z, budget=4 * 2**20):
@@ -186,14 +195,13 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, C), pos.dtype),
             pltpu.VMEM((4, C), dtype),
+            pltpu.VMEM((3, Y, Z), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -206,6 +214,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, pos_cm, F_cm)
     field = lo + hi
     return field.transpose(1, 0, 2, 3), overflow
