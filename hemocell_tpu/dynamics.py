@@ -266,11 +266,27 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     "pallas" if jax.default_backend() == "tpu" else "scatter"
                 )
             # the Pallas mask channel reads the runtime flags, so solidify's
-            # mutated walls renormalise correctly too
-            use_pallas_ibm = mode == "pallas"
-            if use_pallas_ibm:
-                from .ibm.pallas_ibm import pallas_interp, slab_capacity
+            # mutated walls renormalise correctly too.  Domains whose spread
+            # outputs exceed the pipeline's scoped-VMEM budget fall back to
+            # the XLA scatter path (this toolchain stack-allocates pallas
+            # outputs; see pallas_ibm_fits / the static kernels for the
+            # next-round fix)
+            from .ibm.pallas_ibm import pallas_ibm_fits
 
+            use_pallas_ibm = mode == "pallas" and (
+                cfg.spread_mode == "pallas" or pallas_ibm_fits(shape)
+            )
+            if use_pallas_ibm:
+                from .ibm.pallas_ibm import (
+                    pallas_ibm_fits,
+                    pallas_interp,
+                    pallas_interp_static,
+                    pallas_spread,
+                    pallas_spread_static,
+                    slab_capacity,
+                )
+
+                _interp_fn, _spread_fn = pallas_interp, pallas_spread
                 ibm_capacity = slab_capacity(P_pad, shape[0])
                 idx = w = wtot = None
                 fluid_mask3 = (flags == 0).astype(cfg.dtype)
@@ -278,7 +294,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     # boundary-aware renormalisation denominator: trilinear
                     # interpolation of the fluid mask (equals the reference's
                     # per-vertex fluid-weight total)
-                    m4, _ = pallas_interp(
+                    m4, _ = _interp_fn(
                         pos_w, fluid_mask3[None], shape,
                         capacity=ibm_capacity,
                     )
@@ -305,13 +321,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
             if use_pallas_ibm:
-                from .ibm.pallas_ibm import pallas_spread
-
                 scale = act_pad
                 if has_boundaries:
                     scale = scale / jnp.maximum(wtot, 1e-30)
                 fdep = ftot * scale[:, None]
-                field, _ = pallas_spread(
+                field, _ = _spread_fn(
                     pos_w, fdep, shape, capacity=ibm_capacity
                 )
                 if has_boundaries:
@@ -403,19 +417,17 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
             def _interp(_unused):
                 if use_pallas_ibm:
-                    from .ibm.pallas_ibm import pallas_interp
-
                     if has_boundaries:
                         fields4 = jnp.concatenate(
                             [u * fluid_mask3[None], fluid_mask3[None]]
                         )
-                        v4, _ = pallas_interp(
+                        v4, _ = _interp_fn(
                             pos_w, fields4, shape, capacity=ibm_capacity
                         )
                         v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
                     else:
-                        v, _ = pallas_interp(pos_w, u, shape,
-                                             capacity=ibm_capacity)
+                        v, _ = _interp_fn(pos_w, u, shape,
+                                          capacity=ibm_capacity)
                     return v * act_pad[:, None]
                 return coupling.interpolate(u, idx, w)
 

@@ -38,6 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 128
 
 
+def pallas_ibm_fits(shape) -> bool:
+    """This toolchain stack-allocates scalar-prefetch pallas outputs in
+    scoped VMEM; the IBM kernels are only usable while the spread outputs
+    (2 x [X,3,Y,Z] f32) fit the budget.  Larger domains fall back to the
+    XLA scatter path (next round: static binned layout without scalar
+    prefetch)."""
+    X, Y, Z = (int(v) for v in shape)
+    return 2 * X * 3 * Y * Z * 4 <= 7 * 2**20
+
+
 def slab_capacity(n_vertices: int, nx: int, safety: float = 4.0) -> int:
     """Static window size: safety * mean occupancy + alignment slack,
     rounded up to 512."""
@@ -106,9 +116,9 @@ def _aligned_window(starts_ref, g):
 # spread
 
 
-def _spread_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo,
-                   out_hi, pos_v, F_v, plane_v, sem):
-    g = pl.program_id(0)
+def _spread_kernel(C, CH, X, Y, Z, x0, starts_ref, pos_hbm, F_hbm, out_lo,
+                   out_hi, pos_v, F_v, sem):
+    g = pl.program_id(0) + x0
     al = _aligned_window(starts_ref, g)
 
     cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
@@ -137,17 +147,8 @@ def _spread_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, out_lo,
                 )
             p3 = jnp.stack(planes, axis=0)
             acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
-    # outputs live in HBM (a VMEM-resident [X,3,Y,Z] pair blows the budget
-    # at 128^3): stage the planes in scratch and DMA them out
-    plane_v[:] = acc[0]
-    cp_lo = pltpu.make_async_copy(plane_v, out_lo.at[g], sem)
-    cp_lo.start()
-    cp_lo.wait()
-    plane_v[:] = acc[1]
-    gp1 = jax.lax.rem(g + 1, jnp.int32(X))
-    cp_hi = pltpu.make_async_copy(plane_v, out_hi.at[gp1], sem)
-    cp_hi.start()
-    cp_hi.wait()
+    out_lo[0] = acc[0]
+    out_hi[0] = acc[1]
 
 
 def _pick_chunk(C, Y, Z, budget=4 * 2**20):
@@ -195,17 +196,20 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 3, Y, Z), lambda g, s: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, C), pos.dtype),
             pltpu.VMEM((4, C), dtype),
-            pltpu.VMEM((3, Y, Z), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z)
+    kernel = functools.partial(
+        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 0
+    )
     lo, hi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -214,7 +218,6 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
         ),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, pos_cm, F_cm)
     field = lo + hi
     return field.transpose(1, 0, 2, 3), overflow
@@ -316,5 +319,207 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
     vals_sorted = jnp.stack(
         [blocks_flat[flat + c * C] for c in range(NCH)], axis=1
     )  # [P, NCH]
+    inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
+    return vals_sorted[inv], overflow
+
+
+# ---------------------------------------------------------------------------
+# static-binned variants (large domains)
+#
+# The scalar-prefetch kernels above stream dynamic slab windows, but this
+# toolchain stack-allocates the outputs of scalar-prefetch pallas calls in
+# scoped VMEM, capping the field size.  For large domains the vertices are
+# instead pre-binned into a fixed [X, capacity] layout with an XLA row
+# gather, and plain GridSpec kernels (like the fluid kernel, whose outputs
+# are HBM-resident) consume one bin block per program.
+
+
+def build_bins(pos, shape, capacity, extras=()):
+    """Sort + bin vertices by x-slab into fixed-capacity rows.
+
+    Returns (pos_b [X,4,C], valid [X,1,C], unbin (ix_s, ranks, order),
+    overflow, binned extras [X,4,C] each)."""
+    X, Y, Z = (int(s) for s in shape)
+    P = pos.shape[0]
+    C = capacity
+    fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
+    p = jnp.mod(pos, fshape[None, :])
+    order, ix_s, starts = _sort_by_slab(p, X)
+    counts = jnp.diff(starts)
+    overflow = jnp.sum(jnp.maximum(counts - C, 0))
+
+    ranks = starts[:-1, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid = ranks < (starts[:-1] + counts)[:, None]  # [X, C]
+    members = jnp.minimum(ranks, P - 1)
+
+    def bin4(arr_sorted):
+        b = arr_sorted[members]  # [X, C, 3]
+        b = jnp.concatenate(
+            [b, jnp.zeros(b.shape[:2] + (1,), b.dtype)], axis=-1
+        )
+        return b.transpose(0, 2, 1)  # [X, 4, C]
+
+    p_sorted = p[order]
+    pos_b = bin4(p_sorted)
+    extras_b = tuple(bin4(e[order]) for e in extras)
+    return pos_b, valid[:, None, :].astype(pos.dtype), (ix_s, starts, order), \
+        overflow, extras_b
+
+
+def _spread_static_kernel(C, Y, Z, pos_ref, F_ref, valid_ref, out_lo, out_hi):
+    pos = pos_ref[0]  # [4, C]
+    F = F_ref[0]
+    valid = valid_ref[0]  # [1, C]
+
+    py = pos[1:2, :]
+    pz = pos[2:3, :]
+    fx = pos[0:1, :] - jnp.floor(pos[0:1, :])
+    wx0 = (1.0 - fx) * valid
+    wx1 = fx * valid
+    iy = jnp.floor(py).astype(jnp.int32)
+    iz = jnp.floor(pz).astype(jnp.int32)
+    fy = py - jnp.floor(py)
+    fz = pz - jnp.floor(pz)
+    ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
+    ids_z = jax.lax.broadcasted_iota(jnp.int32, (Z, C), 0)
+    Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
+        ids_y == jnp.mod(iy + 1, Y)
+    ) * fy
+    Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
+        ids_z == jnp.mod(iz + 1, Z)
+    ) * fz
+
+    for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
+        planes = []
+        for c in range(3):
+            M = Sy * (F[c : c + 1, :] * wx)
+            planes.append(
+                jax.lax.dot_general(
+                    M, Sz,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=M.dtype,
+                )
+            )
+        out_ref[0] = jnp.stack(planes, axis=0)
+
+
+def _interp_static_kernel(C, Y, Z, NCH, pos_ref, valid_ref, u_lo, u_hi,
+                          out_ref):
+    pos = pos_ref[0]
+    valid = valid_ref[0]
+    py = pos[1:2, :]
+    pz = pos[2:3, :]
+    fx = pos[0:1, :] - jnp.floor(pos[0:1, :])
+    wx0 = (1.0 - fx) * valid
+    wx1 = fx * valid
+    iy = jnp.floor(py).astype(jnp.int32)
+    iz = jnp.floor(pz).astype(jnp.int32)
+    fy = py - jnp.floor(py)
+    fz = pz - jnp.floor(pz)
+    ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
+    ids_z = jax.lax.broadcasted_iota(jnp.int32, (Z, C), 0)
+    Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
+        ids_y == jnp.mod(iy + 1, Y)
+    ) * fy
+    Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
+        ids_z == jnp.mod(iz + 1, Z)
+    ) * fz
+
+    rows = []
+    for c in range(NCH):
+        acc = None
+        for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
+            t = jax.lax.dot_general(
+                u_ref[0, c], Sz,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=Sz.dtype,
+            )
+            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
+            acc = v if acc is None else acc + v
+        rows.append(acc)
+    for _ in range(4 - NCH):
+        rows.append(jnp.zeros_like(rows[0]))
+    out_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
+def pallas_spread_static(pos, forces, shape, capacity=2048, interpret=None):
+    """Static-binned spread (no scalar prefetch); same result as
+    pallas_spread."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    X, Y, Z = (int(s) for s in shape)
+    C = capacity
+    dtype = forces.dtype
+    pos_b, valid, _, overflow, (F_b,) = build_bins(
+        pos, shape, C, extras=(forces,)
+    )
+
+    lo, hi = pl.pallas_call(
+        functools.partial(_spread_static_kernel, C, Y, Z),
+        grid=(X,),
+        in_specs=[
+            pl.BlockSpec((1, 4, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, Y, Z), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Y, Z), lambda g: ((g + 1) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
+        ),
+        interpret=interpret,
+    )(pos_b, F_b, valid)
+    return (lo + hi).transpose(1, 0, 2, 3), overflow
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
+def pallas_interp_static(pos, u, shape, capacity=2048, interpret=None):
+    """Static-binned interpolation (no scalar prefetch); same result as
+    pallas_interp."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    X, Y, Z = (int(s) for s in shape)
+    NCH = u.shape[0]
+    assert NCH <= 4
+    P = pos.shape[0]
+    C = capacity
+    dtype = u.dtype
+    pos_b, valid, (ix_s, starts, order), overflow, _ = build_bins(
+        pos, shape, C
+    )
+    u_x = u.transpose(1, 0, 2, 3)
+
+    blocks = pl.pallas_call(
+        functools.partial(_interp_static_kernel, C, Y, Z, NCH),
+        grid=(X,),
+        in_specs=[
+            pl.BlockSpec((1, 4, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, Y, Z), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, Y, Z), lambda g: ((g + 1) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((X, 4, C), dtype),
+        interpret=interpret,
+    )(pos_b, valid, u_x, u_x)
+    # un-bin: sorted vertex i sits at column (i - start_{g(i)}) of block g(i)
+    col = jnp.arange(P, dtype=jnp.int32) - starts[:-1][ix_s]
+    flat = (ix_s * 4) * C + col
+    bf = blocks.reshape(-1)
+    vals_sorted = jnp.stack([bf[flat + c * C] for c in range(NCH)], axis=1)
     inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
     return vals_sorted[inv], overflow
