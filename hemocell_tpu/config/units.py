@@ -78,6 +78,14 @@ class Parameters:
         self.u_lbm_max = self.re * self.nu_lbm / (self.pipe_radius * 2)
         return self
 
+    def pipe_flow_radius(self, cfg, radius_lu: float) -> "Parameters":
+        """Pipe parameters with a predefined radius in lattice units
+        (reference: mechanics/constantConversion.cpp:75-82)."""
+        self.re = cfg["domain"]["Re"].read(float)
+        self.pipe_radius = float(radius_lu)
+        self.u_lbm_max = self.re * self.nu_lbm / (self.pipe_radius * 2)
+        return self
+
     def shear_flow(self, cfg, nx: float) -> "Parameters":
         shearrate_p = cfg["domain"]["shearrate"].read(float)
         self.re = (nx * (shearrate_p * (nx * 0.5))) / self.nu_p

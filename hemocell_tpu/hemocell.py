@@ -558,6 +558,40 @@ class HemoCell:
             elif name == "Omega":
                 om = np.asarray(self.omega)
                 fields[name] = np.broadcast_to(om, self.shape).copy()
+            elif name in ("StrainRate", "ShearStress"):
+                # Voigt [xx,yy,zz,xy,xz,yz] -> [...,6] (reference
+                # OUTPUT_STRAIN_RATE / OUTPUT_SHEAR_STRESS)
+                S = np.asarray(
+                    lbm.strain_rate_tensor(st.f, zero_force, self.omega)
+                ).transpose(1, 2, 3, 0)
+                if name == "ShearStress":
+                    om = float(np.mean(np.asarray(self.omega)))
+                    nu = (1.0 / om - 0.5) / 3.0
+                    S = 2.0 * nu * np.asarray(rho)[..., None] * S
+                fields[name] = S
+            elif name == "Force":
+                bf = (
+                    np.asarray(self._step_cfg.body_force)
+                    if self._step_cfg is not None
+                    and self._step_cfg.body_force is not None
+                    else np.zeros(3)
+                )
+                fields[name] = np.broadcast_to(
+                    bf, self.shape + (3,)
+                ).astype(np.float32).copy()
+            elif name == "CellDensity":
+                # vertices-per-voxel histogram (reference OUTPUT_CELL_DENSITY)
+                dens = np.zeros(self.shape, np.float32)
+                for cs in st.cells:
+                    al = np.asarray(cs.alive)
+                    if not al.any():
+                        continue
+                    p = np.asarray(cs.pos)[al].reshape(-1, 3)
+                    ij = np.round(p).astype(int)
+                    for d in range(3):
+                        ij[:, d] = np.clip(ij[:, d], 0, self.shape[d] - 1)
+                    np.add.at(dens, (ij[:, 0], ij[:, 1], ij[:, 2]), 1.0)
+                fields[name] = dens
         write_fluid_hdf5(
             self.outdir, self.iter, self.params.dx, self.params.dt, fields,
             si_units=si_units,

@@ -106,6 +106,11 @@ def make_coupled_stepper(
         new_crossings = []
         main_cells = list(st.main.cells)
         for k, (pcs, mcs) in enumerate(zip(pre2.cells, st.main.cells)):
+            if pcs.pos.shape[0] == 0 or mcs.pos.shape[0] == 0:
+                # type with no cells in the preinlet (or no receiving slots):
+                # nothing can ever cross
+                new_crossings.append(st.crossings[k])
+                continue
             cx = pcs.pos[:, :, 0].mean(axis=1)  # unwrapped centres
             images = jnp.floor(cx / Lp).astype(jnp.int32)
             crossed = (images > st.crossings[k]) & pcs.alive
