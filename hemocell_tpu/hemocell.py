@@ -165,15 +165,34 @@ class HemoCell:
 
         inner = None
         if "InnerEdges" in mat_cfg:
-            # The reference XMLs hard-code vertex-id pairs tied to the
-            # Palabos dedup ordering ("TODO: make it automatic",
-            # commonCellConstants.cpp:142).  We derive the transverse
-            # stiffening pairs geometrically instead: mirror pairs across
-            # the disc plane — ordering-independent and exhaustive.
-            from .mesh.generate import mirror_inner_edges
+            if construct_type == "MESH_FROM_STL":
+                # STL-based cells (e.g. the malaria gametocyte,
+                # cases/pipeflowMalaria/RBC_MALARIA.xml): the ids index the
+                # STL's own deduplicated vertex set, which we reproduce —
+                # use them directly when in range.
+                ids = np.array(
+                    [
+                        [int(a), int(b)]
+                        for a, b in (
+                            e.text.split()
+                            for e in mat_cfg["InnerEdges"].children("Edge")
+                        )
+                    ],
+                    dtype=np.int64,
+                )
+                if ids.size and ids.max() < mesh.num_vertices:
+                    inner = ids
+            if inner is None:
+                # Template meshes: the reference XMLs hard-code vertex-id
+                # pairs tied to the Palabos dedup ordering ("TODO: make it
+                # automatic", commonCellConstants.cpp:142).  We derive the
+                # transverse stiffening pairs geometrically instead: mirror
+                # pairs across the disc plane — ordering-independent and
+                # exhaustive.
+                from .mesh.generate import mirror_inner_edges
 
-            inner = mirror_inner_edges(mesh, axis=1)
-            if len(inner) == 0:
+                inner = mirror_inner_edges(mesh, axis=1)
+            if inner is not None and len(inner) == 0:
                 inner = None
         topo = build_topology(mesh, inner_edges=inner)
         material = material_dict(
