@@ -64,6 +64,21 @@ def main():
     mlups = nodes * n / dt_coupled / 1e6
     vups = meta["n_vertices"] * n / dt_coupled
 
+    # ---- coupled at 128^3, ~30% hematocrit (production scale) ------------
+    cfg8, state8, meta8 = rbc_suspension(
+        shape=(128, 128, 128),
+        n_cells=872,
+        body_force=(5e-7, 0.0, 0.0),
+        particle_every=5,
+        material_every=20,
+        repulsion=False,
+    )
+    runner8 = build_runner(cfg8)
+    state8 = runner8(state8, 1)
+    jax.block_until_ready(state8)
+    dt8, _ = time_run(runner8, state8, 20)
+    mlups_128 = 128 ** 3 * 20 / dt8 / 1e6
+
     # ---- fluid only -----------------------------------------------------
     cfg_f, state_f, _ = rbc_suspension(
         shape=(128, 128, 128), n_cells=0, body_force=(5e-7, 0.0, 0.0),
@@ -81,6 +96,11 @@ def main():
         "unit": "MLUPS",
         "vs_baseline": round(mlups / 1.0, 3),
         "fluid_only_mlups": round(mlups_fluid, 3),
+        "coupled_128_mlups": round(mlups_128, 3),
+        "coupled_128_cells": meta8["n_cells"],
+        "coupled_128_vertex_updates_per_s": round(
+            meta8["n_vertices"] * 20 / dt8, 1
+        ),
         "vertex_updates_per_s": round(vups, 1),
         "n_cells": meta["n_cells"],
         "hematocrit": round(meta["hematocrit"], 3),

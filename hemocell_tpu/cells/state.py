@@ -35,6 +35,10 @@ class CellTypeState(NamedTuple):
     # tagged for solidification next solidify step (reference:
     # HemoCellParticle solidify flag, core/hemoCellParticleField.cpp:1018+)
     solidify: jnp.ndarray = None
+    # per-cell residence time: iterations since placement (reference:
+    # HemoCellParticle.restime in serializeValues_t,
+    # core/hemoCellParticle.h:45-63, incremented on advance)
+    restime: jnp.ndarray = None
 
     @property
     def num_cells(self):
@@ -51,7 +55,8 @@ def make_cell_state(positions: np.ndarray, dtype=jnp.float32) -> CellTypeState:
     z = jnp.zeros_like(pos)
     alive = jnp.ones(pos.shape[0], dtype=bool)
     solidify = jnp.zeros(pos.shape[0], dtype=bool)
-    return CellTypeState(pos, z, z, z, alive, solidify)
+    restime = jnp.zeros(pos.shape[0], dtype=jnp.int32)
+    return CellTypeState(pos, z, z, z, alive, solidify, restime)
 
 
 def place_cells(

@@ -265,24 +265,17 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 mode = (
                     "pallas" if jax.default_backend() == "tpu" else "scatter"
                 )
-            # the Pallas mask channel reads the runtime flags, so solidify's
-            # mutated walls renormalise correctly too.  Domains whose spread
-            # outputs exceed the pipeline's scoped-VMEM budget fall back to
-            # the XLA scatter path (this toolchain stack-allocates pallas
-            # outputs; see pallas_ibm_fits / the static kernels for the
-            # next-round fix)
-            from .ibm.pallas_ibm import pallas_ibm_fits
-
-            use_pallas_ibm = mode == "pallas" and (
-                cfg.spread_mode == "pallas" or pallas_ibm_fits(shape)
-            )
+            # The Pallas mask channel reads the runtime flags, so solidify's
+            # mutated walls renormalise correctly too.  Pallas IBM works at
+            # any domain size: build_runner caps the scoped-VMEM budget via
+            # per-jit compiler options so the toolchain keeps the big spread
+            # outputs in HBM instead of stack-allocating them in VMEM (see
+            # scoped_vmem_limit_kib).
+            use_pallas_ibm = mode == "pallas"
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import (
-                    pallas_ibm_fits,
                     pallas_interp,
-                    pallas_interp_static,
                     pallas_spread,
-                    pallas_spread_static,
                     slab_capacity,
                 )
 
@@ -546,7 +539,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 alive = cs.alive & ~jnp.any(hit, axis=1)
             else:
                 alive = cs.alive
-            cells[k] = cs._replace(pos=new_pos, alive=alive)
+            restime = cs.restime
+            if restime is not None:
+                # residence time: iterations alive (hemoCellParticle.h:45-63)
+                restime = restime + alive.astype(jnp.int32)
+            cells[k] = cs._replace(pos=new_pos, alive=alive, restime=restime)
 
         # ---- 6: constitutive model ----------------------------------------
         for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
@@ -576,11 +573,43 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
     return step
 
 
+def scoped_vmem_limit_kib(cfg: StepConfig) -> int:
+    """Scoped-VMEM compiler limit for this step's program.
+
+    The TPU toolchain stack-allocates pallas custom-call outputs in scoped
+    VMEM; the [X,3,Y,Z] spread outputs at >=128^3 exceed the default
+    16 MiB budget and the compile fails (the allocator errors rather than
+    falling back to HBM).  The fix is to RAISE the per-jit budget to cover
+    the outputs plus the fused stream-collide kernel's window buffers
+    (~8 double-buffered [19,1,Y,Z] rows) — v5e has 128 MiB of VMEM per
+    core, far above the default cap.
+    """
+    X, Y, Z = (int(s) for s in cfg.shape)
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    spread_outputs = 2 * X * 3 * Y * Z * itemsize
+    fluid_rows = 19 * Y * Z * itemsize * 8
+    need_kib = -(-(spread_outputs + fluid_rows) // 1024) + 8192
+    return min(max(16384, need_kib), 114688)
+
+
 def build_runner(cfg: StepConfig):
     """jitted (state, n) -> state advancing n iterations."""
     step = build_step(cfg)
 
-    @partial(jax.jit, static_argnums=(1,))
+    # Only cap the scoped budget when the spread outputs are too big to
+    # stack-allocate under the toolchain's default budget; small domains
+    # keep the default (VMEM-resident outputs are faster there).
+    from .ibm.pallas_ibm import pallas_ibm_fits
+
+    opts = None
+    if (
+        jax.default_backend() == "tpu"
+        and cfg.use_pallas is not False
+        and not pallas_ibm_fits(cfg.shape)
+    ):
+        opts = {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_limit_kib(cfg)}
+
+    @partial(jax.jit, static_argnums=(1,), compiler_options=opts)
     def run(state: SimState, n: int) -> SimState:
         return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
 

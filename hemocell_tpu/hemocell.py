@@ -400,8 +400,38 @@ class HemoCell:
     # ------------------------------------------------------------------
     # running
 
+    def enable_exit_signals(self, checkpoint_on_exit: bool = True):
+        """Install graceful-exit signal handlers (reference:
+        core/hemoCell.cpp:48-67 + checkExitSignals :289-297): SIGINT/TERM/
+        HUP/USR1/USR2 set a flag; the next iterate() call writes a final
+        checkpoint (if an output dir is set) and raises SystemExit."""
+        import signal
+
+        self._exit_requested = False
+
+        def _handler(signum, frame):
+            self._exit_requested = True
+
+        for sig in ("SIGINT", "SIGTERM", "SIGHUP", "SIGUSR1", "SIGUSR2"):
+            if hasattr(signal, sig):
+                try:
+                    signal.signal(getattr(signal, sig), _handler)
+                except (ValueError, OSError):
+                    pass  # not the main thread / unsupported
+        self._checkpoint_on_exit = checkpoint_on_exit
+
+    def check_exit_signals(self):
+        """Exit gracefully if a termination signal arrived
+        (reference: HemoCell::checkExitSignals, core/hemoCell.cpp:289-297)."""
+        if getattr(self, "_exit_requested", False):
+            if getattr(self, "_checkpoint_on_exit", False) and self.outdir:
+                self.block()
+                self.save_checkpoint()
+            raise SystemExit("HemoCell: exiting because of termination signal")
+
     def iterate(self, n: int = 1):
         """Advance n coupled iterations (reference: HemoCell::iterate)."""
+        self.check_exit_signals()
         if self._dirty or self._runner is None:
             # push current (possibly updated) cell states into the state
             self._build()
@@ -635,6 +665,9 @@ class HemoCell:
                 "Cell Id": np.repeat(np.arange(nca), nv)[:, None],
                 "Vertex Id": np.tile(np.arange(nv), nca)[:, None],
             }
+            if cs.restime is not None:
+                rt = np.asarray(cs.restime)[alive]
+                datasets["restime"] = np.repeat(rt, nv)[:, None]
             # separated constitutive force components, recomputed like the
             # reference's separateForceVectors re-run
             # (core/hemoCellParticleField.cpp:590-614)

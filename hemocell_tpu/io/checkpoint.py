@@ -30,7 +30,9 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
             arrays[opt] = np.asarray(val)
     for k, cs in enumerate(state.cells):
         for fieldname in CellTypeState._fields:
-            arrays[f"cell{k}_{fieldname}"] = np.asarray(getattr(cs, fieldname))
+            val = getattr(cs, fieldname)
+            if val is not None:
+                arrays[f"cell{k}_{fieldname}"] = np.asarray(val)
     arrays["n_types"] = np.asarray(len(state.cells))
     with open(tmp, "wb") as fh:  # explicit handle: savez appends .npz to paths
         np.savez_compressed(fh, **arrays)
@@ -54,7 +56,16 @@ def load_checkpoint(directory: str, dtype=None):
         for k in range(n_types):
             fields = {}
             for fieldname in CellTypeState._fields:
-                arr = data[f"cell{k}_{fieldname}"]
+                key = f"cell{k}_{fieldname}"
+                if key not in data:
+                    # field added after this checkpoint was written
+                    nc = data[f"cell{k}_pos"].shape[0]
+                    if fieldname == "restime":
+                        fields[fieldname] = jnp.zeros(nc, jnp.int32)
+                    else:
+                        fields[fieldname] = None
+                    continue
+                arr = data[key]
                 if dtype is not None and arr.dtype.kind == "f":
                     fields[fieldname] = jnp.asarray(arr, dtype=dtype)
                 else:
