@@ -379,7 +379,22 @@ class HemoCell:
             cepac_dirichlet_value=getattr(self, "_cepac_value", None),
         )
         self._step_cfg = cfg
-        self._runner = build_runner(cfg)
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from .parallel import (
+                build_shardmap_runner,
+                build_sharded_runner,
+                shardmap_supported,
+            )
+
+            n_ax = int(mesh.shape[mesh.axis_names[0]])
+            if shardmap_supported(cfg) and self.shape[0] % n_ax == 0:
+                self._runner = build_shardmap_runner(cfg, mesh)
+            else:
+                # GSPMD auto-partition covers the full feature set
+                self._runner = build_sharded_runner(cfg, mesh)
+        else:
+            self._runner = build_runner(cfg)
         if self._state is None:
             self._state = initial_sim_state(
                 cfg, self.cell_states, rho0=getattr(self, "_rho0", 1.0),
@@ -392,6 +407,22 @@ class HemoCell:
                 cells=tuple(self.cell_states), cepac=self._state.cepac,
             )
         self._dirty = False
+
+    def distribute(self, n_devices: int | None = None, mesh=None):
+        """Run the simulation domain-decomposed over a device mesh — the
+        analog of launching the reference under ``mpirun -n N``
+        (core/hemoCell.cpp:438-571).  Uses the explicit shard_map step
+        (per-shard Pallas kernels + ppermute halo exchange) when the
+        feature set allows, else the GSPMD auto-partitioned step."""
+        from .parallel import make_mesh, shard_state
+
+        self._mesh = mesh if mesh is not None else make_mesh(
+            n_devices, axes=("x",)
+        )
+        if self._state is not None:
+            self._state = shard_state(self._state, self._mesh)
+        self._dirty = True
+        return self._mesh
 
     def fresh_state(self):
         self._state = None

@@ -56,12 +56,33 @@ def field_spec(mesh: Mesh) -> P:
 
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
-    """Place the lattice sharded, cell arrays replicated."""
-    f = jax.device_put(state.f, NamedSharding(mesh, lattice_spec(mesh)))
+    """Place the lattice sharded, cell arrays replicated; optional field
+    state (cepac/omega/flags/binding/bc) sharded to match its rank."""
+    lsh = NamedSharding(mesh, lattice_spec(mesh))
+    fsh = NamedSharding(mesh, field_spec(mesh))
     rep = NamedSharding(mesh, P())
+    f = jax.device_put(state.f, lsh)
     cells = jax.tree.map(lambda x: jax.device_put(x, rep), state.cells)
     it = jax.device_put(state.it, rep)
-    return SimState(f=f, it=it, cells=cells)
+
+    def put(val, spatial_rank_sh):
+        if val is None:
+            return None
+        nd = getattr(val, "ndim", 0)
+        if nd >= 3:
+            return jax.device_put(val, spatial_rank_sh)
+        return jax.device_put(val, rep)
+
+    return SimState(
+        f=f, it=it, cells=cells,
+        cepac=put(state.cepac, lsh),
+        omega_field=put(state.omega_field, fsh),
+        flags_state=put(state.flags_state, fsh),
+        binding_mask=put(state.binding_mask, fsh),
+        bc_state=put(state.bc_state, lsh),
+        body_force_state=put(state.body_force_state, rep),
+        le_displacement=put(state.le_displacement, rep),
+    )
 
 
 def shard_step_config(cfg: StepConfig, mesh: Mesh) -> StepConfig:
@@ -100,11 +121,28 @@ def build_sharded_runner(cfg: StepConfig, mesh: Mesh):
     step = build_step(cfg)
 
     f_sh = NamedSharding(mesh, lattice_spec(mesh))
+    g_sh = NamedSharding(mesh, field_spec(mesh))
     rep = NamedSharding(mesh, P())
 
     def out_shardings(state: SimState):
         cells = jax.tree.map(lambda _: rep, state.cells)
-        return SimState(f=f_sh, it=rep, cells=cells)
+
+        def spatial(val):
+            if val is None:
+                return None
+            nd = getattr(val, "ndim", 0)
+            return g_sh if nd == 3 else (f_sh if nd == 4 else rep)
+
+        return SimState(
+            f=f_sh, it=rep, cells=cells,
+            cepac=spatial(state.cepac),
+            omega_field=spatial(state.omega_field),
+            flags_state=spatial(state.flags_state),
+            binding_mask=spatial(state.binding_mask),
+            bc_state=spatial(state.bc_state),
+            body_force_state=rep if state.body_force_state is not None else None,
+            le_displacement=rep if state.le_displacement is not None else None,
+        )
 
     def run(state: SimState, n: int) -> SimState:
         shardings = out_shardings(state)

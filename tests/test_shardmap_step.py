@@ -1,0 +1,113 @@
+"""Explicit shard_map coupled step vs the single-device step.
+
+The shard_map step (parallel/sharded_step.py) must reproduce the
+single-device dynamics exactly: spreading's halo-row ppermute replaces the
+reference's particle-envelope exchange (core/hemoCellFields.cpp:363-499),
+so shard-count invariance is the same oracle the reference CI checks with
+mpirun -n 2 vs -n 4 logfile diffs."""
+
+import dataclasses
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hemocell_tpu.config.defaults import FLAG_WALL
+from hemocell_tpu.dynamics import build_runner
+from hemocell_tpu.parallel.sharded_step import (
+    build_shardmap_runner,
+    shardmap_supported,
+)
+from hemocell_tpu.parallel.sharding import make_mesh, shard_state
+from hemocell_tpu.presets import rbc_suspension
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _compare(cfg, state, n=5):
+    # the shard-local vertex windows change f32 reduction order, so
+    # equality is to rounding (amplified by cancellation in the tiny
+    # transverse velocity components), not bitwise
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, n
+    )
+    mesh = make_mesh(8, axes=("x",))
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), n)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-6, atol=1e-7)
+    for co, cr in zip(out.cells, ref.cells):
+        assert np.allclose(np.asarray(co.pos), np.asarray(cr.pos),
+                           rtol=0, atol=1e-6)
+        assert np.allclose(np.asarray(co.vel), np.asarray(cr.vel),
+                           rtol=0, atol=1e-8)
+        assert np.array_equal(np.asarray(co.alive), np.asarray(cr.alive))
+
+
+def test_periodic_suspension_matches():
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        particle_every=2, material_every=4, repulsion=True,
+    )
+    assert shardmap_supported(cfg)
+    _compare(cfg, state)
+
+
+def test_walled_channel_matches():
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    flags = np.zeros((32, 16, 16), np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    flags[:, :, -1] = FLAG_WALL
+    cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags))
+    _compare(cfg, state)
+
+
+def test_unsupported_features_detected():
+    cfg, _, _ = rbc_suspension(shape=(16, 16, 16), n_cells=1)
+    assert not shardmap_supported(
+        dataclasses.replace(cfg, lees_edwards_velocity=0.01)
+    )
+    assert not shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
+
+
+def test_facade_distribute(tmp_path):
+    """HemoCell.distribute runs the same physics as single-device."""
+    from hemocell_tpu import HemoCell
+
+    def build():
+        cfgdir = tmp_path / "case"
+        os.makedirs(cfgdir, exist_ok=True)
+        (cfgdir / "config.xml").write_text(
+            """<?xml version="1.0" ?><hemocell>
+            <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx>
+            <dt>1e-7</dt><kBT>4.100531391e-21</kBT></domain>
+            <sim><tmax>10</tmax></sim></hemocell>"""
+        )
+        hc = HemoCell(str(cfgdir / "config.xml"))
+        flags = np.zeros((32, 16, 16), np.uint8)
+        flags[:, :, 0] = FLAG_WALL
+        flags[:, :, -1] = FLAG_WALL
+        hc.initialize_lattice(flags=flags)
+        hc.set_body_force((1e-6, 0.0, 0.0))
+        return hc
+
+    ref = build()
+    ref.iterate(4)
+    ref.block()
+
+    hc = build()
+    hc.distribute(8)
+    hc.iterate(4)
+    hc.block()
+    assert np.allclose(
+        np.asarray(hc.state.f), np.asarray(ref.state.f), rtol=0, atol=1e-7
+    )
