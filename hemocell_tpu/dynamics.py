@@ -283,15 +283,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 ibm_capacity = slab_capacity(P_pad, shape[0])
                 idx = w = wtot = None
                 fluid_mask3 = (flags == 0).astype(cfg.dtype)
-                if has_boundaries:
-                    # boundary-aware renormalisation denominator: trilinear
-                    # interpolation of the fluid mask (equals the reference's
-                    # per-vertex fluid-weight total)
-                    m4, _ = _interp_fn(
-                        pos_w, fluid_mask3[None], shape,
-                        capacity=ibm_capacity,
-                    )
-                    wtot = m4[:, 0]
+                # boundary-aware renormalisation is fused into the spread
+                # kernel (mask= argument) — no separate wtot interp pass
             else:
                 # kernel computed once per step, reused for interpolation
                 # (the reference caches kernelWeights the same way,
@@ -314,12 +307,10 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
             if use_pallas_ibm:
-                scale = act_pad
-                if has_boundaries:
-                    scale = scale / jnp.maximum(wtot, 1e-30)
-                fdep = ftot * scale[:, None]
+                fdep = ftot * act_pad[:, None]
                 field, _ = _spread_fn(
-                    pos_w, fdep, shape, capacity=ibm_capacity
+                    pos_w, fdep, shape, capacity=ibm_capacity,
+                    mask=fluid_mask3 if has_boundaries else None,
                 )
                 if has_boundaries:
                     field = field * fluid_mask3[None]

@@ -160,9 +160,64 @@ def _pick_chunk(C, Y, Z, budget=4 * 2**20):
     return max(ch, 512)
 
 
+def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
+                          m_hi, out_lo, out_hi, pos_v, F_v, sem):
+    """Spread with fused boundary-aware renormalisation: the per-vertex
+    fluid-weight total (the separate mask-interpolation pass of the jnp
+    path, reference core/immersedBoundaryMethod.h:62-138) is computed from
+    the same one-hots and divided out in-kernel."""
+    g = pl.program_id(0)
+    al = _aligned_window(starts_ref, g)
+
+    cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
+    cp_pos.start()
+    cp_pos.wait()
+    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(al, C)], F_v, sem)
+    cp_f.start()
+    cp_f.wait()
+
+    acc = [None, None]
+    for ci in range(C // CH):
+        sl = pl.ds(ci * CH, CH)
+        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        # per-column fluid-weight total over both x-rows
+        s = None
+        for m_ref, wx in ((m_lo, wx0), (m_hi, wx1)):
+            t = jax.lax.dot_general(
+                m_ref[0, 0], Sz,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=Sz.dtype,
+            )  # [Y, CH]
+            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
+            s = v if s is None else s + v
+        scale = 1.0 / jnp.maximum(s, 1e-30)  # masked columns: wx=0 anyway
+        F = F_v[:, sl] * scale
+        for oi, wx in ((0, wx0), (1, wx1)):
+            planes = []
+            for c in range(3):
+                M = Sy * (F[c : c + 1, :] * wx)
+                planes.append(
+                    jax.lax.dot_general(
+                        M, Sz,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=M.dtype,
+                    )
+                )
+            p3 = jnp.stack(planes, axis=0)
+            acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
+    out_lo[0] = acc[0]
+    out_hi[0] = acc[1]
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
-def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
+def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
+                  mask=None):
     """[P,3] forces -> [3,X,Y,Z] field (pure trilinear, periodic).
+
+    With ``mask`` (a [X,Y,Z] fluid mask), each vertex's deposit is divided
+    by its interpolated fluid-weight total in-kernel — the fused version of
+    the separate mask-interpolation + renormalisation pass (boundary-aware
+    spreading, reference core/immersedBoundaryMethod.h:62-138).
 
     Returns (field, overflow)."""
     if interpret is None:
@@ -188,13 +243,25 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
     pos_cm = pos_cm.at[0, P:].set(-1.0)
     F_cm = _component_major(forces[order], C)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [pos_cm, F_cm]
+    if mask is not None:
+        in_specs += [
+            pl.BlockSpec((1, 1, Y, Z), lambda g, s: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        m_x = mask.astype(dtype)[:, None]  # [X, 1, Y, Z]
+        operands += [m_x, m_x]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(X,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 3, Y, Z), lambda g, s: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -207,9 +274,14 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(
-        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 0
-    )
+    if mask is not None:
+        kernel = functools.partial(
+            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z
+        )
+    else:
+        kernel = functools.partial(
+            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 0
+        )
     lo, hi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -218,7 +290,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None):
             jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
         ),
         interpret=interpret,
-    )(starts, pos_cm, F_cm)
+    )(starts, *operands)
     field = lo + hi
     return field.transpose(1, 0, 2, 3), overflow
 

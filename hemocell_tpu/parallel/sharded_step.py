@@ -185,13 +185,6 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             ibm_capacity = slab_capacity(P_pad, X)
             in_f = inside.astype(dtype)
 
-            if has_boundaries:
-                m4, _ = pallas_interp(
-                    pos_local, mask_ext, (Xl + 1, Y, Z),
-                    capacity=ibm_capacity, interpret=interpret,
-                )
-                wtot = jax.lax.psum(m4[:, 0] * in_f, axis)
-
             ftot = jnp.concatenate(
                 [
                     coupling.cap_force(cs.force.reshape(-1, 3), cfg.f_limit)
@@ -200,13 +193,13 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 ]
             )
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
-            scale = act_pad * in_f
-            if has_boundaries:
-                scale = scale / jnp.maximum(wtot, 1e-30)
-            fdep = ftot * scale[:, None]
+            # boundary renormalisation fused into the spread kernel: the
+            # owner shard sees both support rows (local + halo), so no psum
+            fdep = ftot * (act_pad * in_f)[:, None]
             field_ext, _ = pallas_spread(
                 pos_local, fdep, (Xl + 1, Y, Z),
                 capacity=ibm_capacity, interpret=interpret,
+                mask=mask_ext[0] if has_boundaries else None,
             )
             halo_from_left = _row_to_right(field_ext[:, Xl:], axis)
             field_l = field_ext[:, :Xl].at[:, 0].add(halo_from_left[:, 0])
