@@ -274,6 +274,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             use_pallas_ibm = mode == "pallas"
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import (
+                    build_ibm_plan,
                     pallas_interp,
                     pallas_spread,
                     slab_capacity,
@@ -283,8 +284,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 ibm_capacity = slab_capacity(P_pad, shape[0])
                 idx = w = wtot = None
                 fluid_mask3 = (flags == 0).astype(cfg.dtype)
+                # one x-slab sort per step (built at the spread site so the
+                # forces ride the sort as payload), shared with interp;
                 # boundary-aware renormalisation is fused into the spread
                 # kernel (mask= argument) — no separate wtot interp pass
+                ibm_plan = None
             else:
                 # kernel computed once per step, reused for interpolation
                 # (the reference caches kernelWeights the same way,
@@ -308,9 +312,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
             if use_pallas_ibm:
                 fdep = ftot * act_pad[:, None]
+                ibm_plan = build_ibm_plan(
+                    pos_w, shape, ibm_capacity, payload=fdep
+                )
                 field, _ = _spread_fn(
                     pos_w, fdep, shape, capacity=ibm_capacity,
                     mask=fluid_mask3 if has_boundaries else None,
+                    plan=ibm_plan,
                 )
                 if has_boundaries:
                     field = field * fluid_mask3[None]
@@ -406,12 +414,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                             [u * fluid_mask3[None], fluid_mask3[None]]
                         )
                         v4, _ = _interp_fn(
-                            pos_w, fields4, shape, capacity=ibm_capacity
+                            pos_w, fields4, shape, capacity=ibm_capacity,
+                            plan=ibm_plan,
                         )
                         v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
                     else:
                         v, _ = _interp_fn(pos_w, u, shape,
-                                          capacity=ibm_capacity)
+                                          capacity=ibm_capacity,
+                                          plan=ibm_plan)
                     return v * act_pad[:, None]
                 return coupling.interpolate(u, idx, w)
 

@@ -28,6 +28,7 @@ jnp path); window overflow is returned for callers to assert on.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +111,58 @@ def _aligned_window(starts_ref, g):
     start = starts_ref[g]
     al = (start // _ALIGN) * _ALIGN
     return pl.multiple_of(al, _ALIGN)
+
+
+class IbmPlanT(NamedTuple):
+    """Shared per-step sort plan: computed once, reused by spread and
+    interpolation (both kernels stream the same sorted windows — the
+    x-slab sort is ~half the cost of either call alone)."""
+
+    starts: jnp.ndarray   # [X+1] int32 slab offsets into the sorted order
+    pos_cm: jnp.ndarray   # [4, P+C] sorted component-major positions
+    order: jnp.ndarray    # [P] sort permutation
+    ix_s: jnp.ndarray     # [P] sorted slab ids
+    overflow: jnp.ndarray
+    payload_cm: jnp.ndarray | None = None  # [4, P+C] sorted payload
+
+
+def build_ibm_plan(pos, shape, capacity, payload=None) -> IbmPlanT:
+    """One multi-operand lax.sort carries positions (and optionally a
+    [P,3] payload, e.g. the spread forces) along with the slab keys —
+    measurably faster than argsort + separate row gathers on TPU."""
+    X, Y, Z = (int(s) for s in shape)
+    P = pos.shape[0]
+    C = capacity
+    fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
+    p = jnp.mod(pos, fshape[None, :])
+    ix = jnp.mod(jnp.floor(p[:, 0]).astype(jnp.int32), X)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    operands = [ix, p[:, 0], p[:, 1], p[:, 2]]
+    if payload is not None:
+        operands += [payload[:, 0], payload[:, 1], payload[:, 2]]
+    operands.append(iota)
+    out = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    ix_s = out[0]
+    order = out[-1]
+    starts = jnp.searchsorted(
+        ix_s, jnp.arange(X + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = jnp.diff(starts)
+    overflow = jnp.sum(
+        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
+    )
+    pos_cm = jnp.zeros((4, P + C), pos.dtype)
+    pos_cm = pos_cm.at[0, :P].set(jnp.clip(out[1], 0.0, X - 1e-6))
+    pos_cm = pos_cm.at[1, :P].set(out[2])
+    pos_cm = pos_cm.at[2, :P].set(out[3])
+    pos_cm = pos_cm.at[0, P:].set(-1.0)  # tail never matches a slab
+    payload_cm = None
+    if payload is not None:
+        payload_cm = jnp.zeros((4, P + C), payload.dtype)
+        payload_cm = payload_cm.at[0, :P].set(out[4])
+        payload_cm = payload_cm.at[1, :P].set(out[5])
+        payload_cm = payload_cm.at[2, :P].set(out[6])
+    return IbmPlanT(starts, pos_cm, order, ix_s, overflow, payload_cm)
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +264,7 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
 def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
-                  mask=None):
+                  mask=None, plan=None):
     """[P,3] forces -> [3,X,Y,Z] field (pure trilinear, periodic).
 
     With ``mask`` (a [X,Y,Z] fluid mask), each vertex's deposit is divided
@@ -219,29 +272,24 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
     the separate mask-interpolation + renormalisation pass (boundary-aware
     spreading, reference core/immersedBoundaryMethod.h:62-138).
 
+    Pass ``plan=build_ibm_plan(pos, shape, capacity)`` to share the x-slab
+    sort with pallas_interp in the same step.
+
     Returns (field, overflow)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, Y, Z = (int(s) for s in shape)
-    P = pos.shape[0]
     C = capacity
     dtype = forces.dtype
 
-    fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
-    p = jnp.mod(pos, fshape[None, :])
-    order, ix_s, starts = _sort_by_slab(p, X)
-    counts = jnp.diff(starts)
-    overflow = jnp.sum(
-        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
+    if plan is None:
+        plan = build_ibm_plan(pos, shape, capacity, payload=forces)
+    starts, pos_cm, overflow = plan.starts, plan.pos_cm, plan.overflow
+    F_cm = (
+        plan.payload_cm
+        if plan.payload_cm is not None
+        else _component_major(forces[plan.order], C)
     )
-
-    p_sorted = p[order].at[:, 0].set(
-        jnp.clip(p[order][:, 0], 0.0, X - 1e-6)
-    )
-    pos_cm = _component_major(p_sorted, C)
-    # tail columns: x = -1 never matches any slab
-    pos_cm = pos_cm.at[0, P:].set(-1.0)
-    F_cm = _component_major(forces[order], C)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -329,10 +377,11 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi,
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
-def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
+def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
     """Interpolate u [NCH<=4, X, Y, Z] to vertices [P, NCH] (pure
     trilinear).  Extra channels (e.g. a fluid mask for boundary-aware
-    renormalisation) ride along for free."""
+    renormalisation) ride along for free.  Pass ``plan`` to share the
+    x-slab sort with pallas_spread."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, Y, Z = (int(s) for s in shape)
@@ -342,17 +391,10 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None):
     C = capacity
     dtype = u.dtype
 
-    fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
-    p = jnp.mod(pos, fshape[None, :])
-    order, ix_s, starts = _sort_by_slab(p, X)
-    counts = jnp.diff(starts)
-    overflow = jnp.sum(
-        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
-    )
-
-    p_sorted = p[order].at[:, 0].set(jnp.clip(p[order][:, 0], 0.0, X - 1e-6))
-    pos_cm = _component_major(p_sorted, C)
-    pos_cm = pos_cm.at[0, P:].set(-1.0)
+    if plan is None:
+        plan = build_ibm_plan(pos, shape, capacity)
+    starts, pos_cm = plan.starts, plan.pos_cm
+    order, ix_s, overflow = plan.order, plan.ix_s, plan.overflow
     u_x = u.transpose(1, 0, 2, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -43,7 +43,12 @@ from ..dynamics import SimState, StepConfig, _every, scoped_vmem_limit_kib
 from ..fluid import lbm
 from ..fluid.pallas_lbm import stream_collide_pallas
 from ..ibm import coupling
-from ..ibm.pallas_ibm import pallas_interp, pallas_spread, slab_capacity
+from ..ibm.pallas_ibm import (
+    build_ibm_plan,
+    pallas_interp,
+    pallas_spread,
+    slab_capacity,
+)
 from ..config.defaults import FLAG_FLUID
 
 
@@ -196,10 +201,14 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             # boundary renormalisation fused into the spread kernel: the
             # owner shard sees both support rows (local + halo), so no psum
             fdep = ftot * (act_pad * in_f)[:, None]
+            ibm_plan = build_ibm_plan(
+                pos_local, (Xl + 1, Y, Z), ibm_capacity, payload=fdep
+            )
             field_ext, _ = pallas_spread(
                 pos_local, fdep, (Xl + 1, Y, Z),
                 capacity=ibm_capacity, interpret=interpret,
                 mask=mask_ext[0] if has_boundaries else None,
+                plan=ibm_plan,
             )
             halo_from_left = _row_to_right(field_ext[:, Xl:], axis)
             field_l = field_ext[:, :Xl].at[:, 0].add(halo_from_left[:, 0])
@@ -257,6 +266,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     v4, _ = pallas_interp(
                         pos_local, fields4, (Xl + 1, Y, Z),
                         capacity=ibm_capacity, interpret=interpret,
+                        plan=ibm_plan,
                     )
                     v4 = jax.lax.psum(v4 * in_f[:, None], axis)
                     v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
@@ -264,6 +274,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     v, _ = pallas_interp(
                         pos_local, u_ext, (Xl + 1, Y, Z),
                         capacity=ibm_capacity, interpret=interpret,
+                        plan=ibm_plan,
                     )
                     v = jax.lax.psum(v[:, :3] * in_f[:, None], axis)
                 return v * act_pad[:, None]
