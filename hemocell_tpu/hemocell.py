@@ -612,14 +612,23 @@ class HemoCell:
         os.makedirs(path, exist_ok=True)
 
     def write_output(self, fluid_fields=("Velocity", "Density", "Boundary"),
-                     si_units=False):
+                     si_units=False, async_io=False):
         """HDF5 fluid + per-type cell files and per-cell CSV for this
         iteration (reference: HemoCell::writeOutput,
-        core/hemoCell.cpp:221-287)."""
+        core/hemoCell.cpp:221-287).
+
+        With ``async_io=True`` the device->host snapshot happens now but
+        serialisation runs on a background thread (bounded queue), so the
+        TPU keeps stepping while the host writes — call
+        :meth:`flush_output` (or let it run at exit) to guarantee files
+        are on disk."""
+        import functools as _ft
+
         from .io import write_cell_csv, write_cells_hdf5, write_fluid_hdf5
 
         if self.outdir is None:
             raise RuntimeError("call set_output_dir first")
+        jobs = []
         st = self.state
         zero_force = jnp.zeros((3,) + self.shape, dtype=self.dtype)
         rho, u = lbm.macroscopic(st.f, zero_force)
@@ -672,10 +681,11 @@ class HemoCell:
                         ij[:, d] = np.clip(ij[:, d], 0, self.shape[d] - 1)
                     np.add.at(dens, (ij[:, 0], ij[:, 1], ij[:, 2]), 1.0)
                 fields[name] = dens
-        write_fluid_hdf5(
+        jobs.append(_ft.partial(
+            write_fluid_hdf5,
             self.outdir, self.iter, self.params.dx, self.params.dt, fields,
             si_units=si_units,
-        )
+        ))
         for k, ct in enumerate(self.cell_types):
             cs = st.cells[k]
             alive = np.asarray(cs.alive)
@@ -722,12 +732,13 @@ class HemoCell:
                     datasets[label] = np.asarray(
                         getattr(terms, attr)
                     ).reshape(-1, 3)
-            write_cells_hdf5(
+            jobs.append(_ft.partial(
+                write_cells_hdf5,
                 self.outdir, self.iter, ct.name,
                 positions=pos.reshape(-1, 3),
                 datasets=datasets,
                 triangles=tris,
-            )
+            ))
             # per-cell CSV (io/writeCellInfoCSV.cpp)
             vols = np.asarray(self.cell_volumes(k))[alive]
             areas = np.asarray(self.cell_areas(k))[alive]
@@ -740,7 +751,28 @@ class HemoCell:
                  vels[i, 0], vels[i, 1], vels[i, 2]]
                 for i in range(nca)
             ]
-            write_cell_csv(self.outdir, self.iter, ct.name, rows)
+            jobs.append(_ft.partial(
+                write_cell_csv, self.outdir, self.iter, ct.name, rows
+            ))
+
+        def _write_all(jobs=tuple(jobs)):
+            for j in jobs:
+                j()
+
+        if async_io:
+            if getattr(self, "_writer", None) is None:
+                from .io.async_output import AsyncWriter
+
+                self._writer = AsyncWriter()
+            self._writer.submit(_write_all)
+        else:
+            _write_all()
+
+    def flush_output(self):
+        """Block until all async writes have landed on disk."""
+        w = getattr(self, "_writer", None)
+        if w is not None:
+            w.flush()
 
     def save_checkpoint(self, directory: Optional[str] = None):
         from .io import save_checkpoint

@@ -94,3 +94,50 @@ def test_voxelize_tube():
     assert (flags[-1] == FLAG_FLUID).sum() > 0
     # walls exist
     assert (flags == FLAG_WALL).sum() > 0
+
+
+def test_async_output(tmp_path):
+    """async_io=True writes the same files as the synchronous path."""
+    import jax.numpy as jnp
+
+    from hemocell_tpu import HemoCell
+
+    cfgdir = tmp_path / "case"
+    os.makedirs(cfgdir, exist_ok=True)
+    (cfgdir / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx><dt>1e-7</dt>
+        <kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    hc = HemoCell(str(cfgdir / "config.xml"))
+    hc.initialize_lattice(shape=(8, 8, 8))
+    hc.set_body_force((1e-6, 0.0, 0.0))
+    hc.iterate(2)
+
+    hc.set_output_dir(str(tmp_path / "sync"))
+    hc.write_output()
+    hc.set_output_dir(str(tmp_path / "async"))
+    hc.write_output(async_io=True)
+    hc.flush_output()
+
+    import glob
+
+    sync_files = sorted(
+        os.path.relpath(p, tmp_path / "sync")
+        for p in glob.glob(str(tmp_path / "sync" / "**" / "*.h5"),
+                           recursive=True)
+    )
+    async_files = sorted(
+        os.path.relpath(p, tmp_path / "async")
+        for p in glob.glob(str(tmp_path / "async" / "**" / "*.h5"),
+                           recursive=True)
+    )
+    assert sync_files == async_files and len(sync_files) > 0
+    import h5py
+
+    fa = h5py.File(glob.glob(str(tmp_path / "async" / "**" / "Fluid*.h5"),
+                             recursive=True)[0])
+    fs = h5py.File(glob.glob(str(tmp_path / "sync" / "**" / "Fluid*.h5"),
+                             recursive=True)[0])
+    assert np.array_equal(fa["Velocity"][:], fs["Velocity"][:])
