@@ -266,12 +266,17 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     "pallas" if jax.default_backend() == "tpu" else "scatter"
                 )
             # The Pallas mask channel reads the runtime flags, so solidify's
-            # mutated walls renormalise correctly too.  Pallas IBM works at
-            # any domain size: build_runner caps the scoped-VMEM budget via
-            # per-jit compiler options so the toolchain keeps the big spread
-            # outputs in HBM instead of stack-allocating them in VMEM (see
-            # scoped_vmem_limit_kib).
-            use_pallas_ibm = mode == "pallas"
+            # mutated walls renormalise correctly too.  The toolchain
+            # stack-allocates the spread outputs in scoped VMEM, so
+            # build_runner raises the per-jit scoped budget to cover them
+            # (scoped_vmem_limit_kib); domains whose outputs exceed physical
+            # VMEM (~128 MiB on v5e) fall back to the XLA scatter path —
+            # shard such domains instead (parallel/sharded_step.py keeps
+            # per-shard outputs small).
+            use_pallas_ibm = mode == "pallas" and (
+                cfg.spread_mode == "pallas"
+                or scoped_vmem_limit_kib(cfg) < 114688
+            )
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import (
                     build_ibm_plan,

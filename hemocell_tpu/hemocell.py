@@ -600,6 +600,25 @@ class HemoCell:
                     f"material timescale {ct.timescale} of {ct.name} not "
                     f"divisible by particle timescale {self.particle_every}"
                 )
+        # Pallas IBM slab-window occupancy: contributions of vertices past a
+        # window's static capacity are dropped silently in-kernel, so check
+        # the current distribution against the capacity headroom
+        if self.cell_states and any(cs.pos.shape[0] for cs in self.cell_states):
+            from .ibm.pallas_ibm import slab_capacity
+
+            pos = np.concatenate(
+                [np.asarray(cs.pos).reshape(-1, 3) for cs in self.cell_states]
+            )
+            P_pad = -(-pos.shape[0] // 512) * 512
+            cap = slab_capacity(P_pad, self.shape[0])
+            ix = np.mod(np.floor(pos[:, 0]).astype(int), self.shape[0])
+            occ = int(np.bincount(ix, minlength=self.shape[0]).max())
+            if occ + 128 > cap:
+                warnings.append(
+                    f"IBM slab occupancy {occ} within 128 of window "
+                    f"capacity {cap}: spread contributions may be dropped "
+                    f"(spread_mode='scatter' is the safe fallback)"
+                )
         if strict and warnings:
             raise ValueError("; ".join(warnings))
         return warnings
