@@ -430,11 +430,14 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
     col = jnp.arange(P, dtype=jnp.int32) - al[g_of]
     flat = (g_of * 4) * C + col  # index into blocks.reshape(X*4*C) row 0
     blocks_flat = blocks.reshape(-1)
-    vals_sorted = jnp.stack(
-        [blocks_flat[flat + c * C] for c in range(NCH)], axis=1
-    )  # [P, NCH]
-    inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
-    return vals_sorted[inv], overflow
+    cols_sorted = [blocks_flat[flat + c * C] for c in range(NCH)]
+    # one multi-payload sort keyed on the permutation replaces the inverse
+    # scatter + row gather (a permutation sorted by itself yields the
+    # original order; TPU sorts beat TPU scatters)
+    unsorted = jax.lax.sort(
+        tuple([order] + cols_sorted), num_keys=1, is_stable=True
+    )
+    return jnp.stack(unsorted[1:], axis=1), overflow
 
 
 # ---------------------------------------------------------------------------

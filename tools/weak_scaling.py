@@ -57,13 +57,16 @@ def size_sweep(sizes, n_iter=50):
 
 
 def virtual_weak(n_devices, per_device_x=16, n_iter=5):
-    os.environ.setdefault(
-        "XLA_FLAGS", f"--xla_force_host_platform_device_count={n_devices}"
-    )
     import jax
 
+    jax.config.update("jax_num_cpu_devices", n_devices)
     jax.config.update("jax_platforms", "cpu")
-    from hemocell_tpu.parallel import build_sharded_runner, make_mesh, shard_state
+    from hemocell_tpu.parallel import (
+        build_shardmap_runner,
+        build_sharded_runner,
+        make_mesh,
+        shard_state,
+    )
     from hemocell_tpu.presets import rbc_suspension
 
     X = per_device_x * n_devices
@@ -72,25 +75,30 @@ def virtual_weak(n_devices, per_device_x=16, n_iter=5):
         body_force=(1e-6, 0, 0), repulsion=False,
     )
     mesh = make_mesh(n_devices, axes=("x",))
-    sstate = shard_state(state, mesh)
-    run = build_sharded_runner(cfg, mesh)
-    out = run(sstate, n_iter)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(out, n_iter)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "devices": n_devices,
-                "shape": [X, 16, 16],
-                "iters": n_iter,
-                "wall_s": round(dt, 3),
-                "note": "virtual CPU mesh — validates the multi-chip program",
-            }
+    for label, build in (("shard_map", build_shardmap_runner),
+                         ("gspmd", build_sharded_runner)):
+        sstate = shard_state(state, mesh)
+        run = build(cfg, mesh)
+        out = run(sstate, n_iter)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = run(out, n_iter)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "runner": label,
+                    "devices": n_devices,
+                    "shape": [X, 16, 16],
+                    "iters": n_iter,
+                    "wall_s": round(dt, 3),
+                    "note": "virtual CPU mesh — validates the multi-chip "
+                            "program",
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 def main():
