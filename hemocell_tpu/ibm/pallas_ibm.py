@@ -181,13 +181,21 @@ def _spread_kernel(C, CH, X, Y, Z, x0, starts_ref, pos_hbm, F_hbm, out_lo,
     cp_f.start()
     cp_f.wait()
 
-    # chunk the window so the one-hot matrices fit VMEM at large capacity
-    acc = [None, None]
-    for ci in range(C // CH):
-        sl = pl.ds(ci * CH, CH)
+    # chunk the window so the one-hot matrices fit VMEM at large capacity;
+    # the trip count is dynamic (from the prefetched slab offsets) so only
+    # occupied chunks burn MXU flops — the static capacity is just an upper
+    # bound
+    out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    nch = jnp.minimum(
+        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
+    )
+
+    def _chunk(ci, carry):
+        sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
         Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
         F = F_v[:, sl]
-        for oi, wx in ((0, wx0), (1, wx1)):
+        for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
             planes = []
             for c in range(3):
                 M = Sy * (F[c : c + 1, :] * wx)  # [Y, CH]
@@ -198,10 +206,10 @@ def _spread_kernel(C, CH, X, Y, Z, x0, starts_ref, pos_hbm, F_hbm, out_lo,
                         preferred_element_type=M.dtype,
                     )
                 )
-            p3 = jnp.stack(planes, axis=0)
-            acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
-    out_lo[0] = acc[0]
-    out_hi[0] = acc[1]
+            out_ref[0] += jnp.stack(planes, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, nch, _chunk, 0)
 
 
 def _pick_chunk(C, Y, Z, budget=4 * 2**20):
@@ -229,9 +237,14 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
     cp_f.start()
     cp_f.wait()
 
-    acc = [None, None]
-    for ci in range(C // CH):
-        sl = pl.ds(ci * CH, CH)
+    out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    nch = jnp.minimum(
+        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
+    )
+
+    def _chunk(ci, carry):
+        sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
         Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
         # per-column fluid-weight total over both x-rows
         s = None
@@ -245,7 +258,7 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
             s = v if s is None else s + v
         scale = 1.0 / jnp.maximum(s, 1e-30)  # masked columns: wx=0 anyway
         F = F_v[:, sl] * scale
-        for oi, wx in ((0, wx0), (1, wx1)):
+        for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
             planes = []
             for c in range(3):
                 M = Sy * (F[c : c + 1, :] * wx)
@@ -256,10 +269,10 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
                         preferred_element_type=M.dtype,
                     )
                 )
-            p3 = jnp.stack(planes, axis=0)
-            acc[oi] = p3 if acc[oi] is None else acc[oi] + p3
-    out_lo[0] = acc[0]
-    out_hi[0] = acc[1]
+            out_ref[0] += jnp.stack(planes, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, nch, _chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
@@ -356,8 +369,15 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi,
     cp.start()
     cp.wait()
 
-    for ci in range(C // CH):
-        sl = pl.ds(ci * CH, CH)
+    # dynamic trip count: only chunks holding this slab's vertices are
+    # computed (the un-sort reads only columns < start[g+1], so the
+    # untouched tail of the output block is never observed)
+    nch = jnp.minimum(
+        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
+    )
+
+    def _chunk(ci, carry):
+        sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
         Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
         rows = []
         for c in range(NCH):
@@ -374,6 +394,9 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi,
         for _ in range(4 - NCH):
             rows.append(jnp.zeros_like(rows[0]))
         out_ref[0, :, sl] = jnp.concatenate(rows, axis=0)  # [4, CH]
+        return carry
+
+    jax.lax.fori_loop(0, nch, _chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
