@@ -53,6 +53,7 @@ def main():
         particle_every=5,
         material_every=20,
         repulsion=False,
+        resort_every=8,
     )
     runner = build_runner(cfg)
     state = runner(state, 1)  # compile + warmup
@@ -72,6 +73,7 @@ def main():
         particle_every=5,
         material_every=20,
         repulsion=False,
+        resort_every=8,
     )
     runner8 = build_runner(cfg8)
     state8 = runner8(state8, 1)

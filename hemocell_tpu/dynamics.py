@@ -118,6 +118,21 @@ class StepConfig:
     # Lees-Edwards sheared periodicity across the z faces (None = off):
     # the relative image velocity U = shear_rate * Z
     lees_edwards_velocity: Optional[float] = None
+    # amortised-resort shadow mode: keep the Pallas IBM's sorted vertex
+    # layout for this many steps (positions drift in-place; widened kernel
+    # windows absorb up to one slab of drift).  1 = resort every step.
+    # Only active on wall-free non-LE pallas domains; requires
+    # resort_every * u_max < 1 LU.
+    resort_every: int = 1
+
+
+class IbmShadow(NamedTuple):
+    """Persistent sorted-layout state between resorts (see
+    ibm/pallas_ibm.py shadow kernels)."""
+
+    plan: Any      # IbmPlanT: starts/pos_cm (CURRENT drifted)/order/F_cm
+    vel_cm: jnp.ndarray  # [4, P+C] sorted velocities (advance increments)
+    act_cm: jnp.ndarray  # [4, P+C] sorted activity mask
 
 
 def _every(it, k, fn, operand, fallback):
@@ -139,9 +154,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
     # global cell ids across types, for cross-type repulsion exclusion
     gid_offset = np.cumsum([0] + [0 for _ in range(n_types)])
 
-    def step(state: SimState) -> SimState:
+    shadow_mode = shadow_active(cfg)
+
+    def step(state: SimState, shadow=None, resync=None):
         it = state.it
         cells = list(state.cells)
+        new_shadow = shadow
         # node flags: static unless solidification mutates them
         flags = (
             state.flags_state
@@ -279,11 +297,15 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
             if use_pallas_ibm:
                 from .ibm.pallas_ibm import (
+                    _component_major,
                     build_ibm_plan,
                     pallas_interp,
+                    pallas_interp_shadow,
                     pallas_spread,
+                    pallas_spread_shadow,
                     slab_capacity,
                 )
+                from .ibm.pallas_ibm import SUBDIV as SHADOW_SUBDIV
 
                 _interp_fn, _spread_fn = pallas_interp, pallas_spread
                 ibm_capacity = slab_capacity(P_pad, shape[0])
@@ -315,7 +337,70 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             ftot = jnp.concatenate(ftot_parts)
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
-            if use_pallas_ibm:
+            if use_pallas_ibm and shadow_mode and shadow is not None:
+                # amortised-resort: the sorted layout persists in ``shadow``;
+                # this step only refreshes the sorted forces when the
+                # canonical forces changed, and fully resorts on ``resync``
+                fdep = ftot * act_pad[:, None]
+                P_pad_s = pos_w.shape[0]
+
+                def _resync(_):
+                    plan = build_ibm_plan(
+                        pos_w, shape, ibm_capacity, payload=fdep,
+                        subdiv=SHADOW_SUBDIV,
+                    )
+                    vel0 = jnp.pad(
+                        jnp.concatenate(
+                            [cs.vel.reshape(-1, 3) for cs in cells]
+                        ),
+                        ((0, pad), (0, 0)),
+                    )
+                    vel_cm = _component_major(
+                        vel0[plan.order], ibm_capacity
+                    )
+                    act_cm = jnp.zeros(
+                        P_pad_s + ibm_capacity, cfg.dtype
+                    ).at[:P_pad_s].set(act_pad[plan.order])
+                    return IbmShadow(plan, vel_cm, act_cm)
+
+                def _carry(_):
+                    plan = shadow.plan
+                    # sorted forces refresh: constitutive forces change the
+                    # step after each type's material update; repulsion
+                    # changes on its own cadence within this step
+                    pred = jnp.asarray(False)
+                    for tc in cfg.types:
+                        pred = pred | (
+                            jnp.mod(it - 1, tc.material_every) == 0
+                        )
+                    if cfg.repulsion_constant > 0.0:
+                        pred = pred | (jnp.mod(it, cfg.repulsion_every) == 0)
+                    if (
+                        cfg.boundary_repulsion_constant > 0.0
+                        and cfg.boundary_mask is not None
+                    ):
+                        pred = pred | (
+                            jnp.mod(it, cfg.boundary_repulsion_every) == 0
+                        )
+                    F_cm = jax.lax.cond(
+                        pred,
+                        lambda _: _component_major(
+                            fdep[plan.order], ibm_capacity
+                        ),
+                        lambda _: plan.payload_cm,
+                        None,
+                    )
+                    return IbmShadow(
+                        plan._replace(payload_cm=F_cm),
+                        shadow.vel_cm, shadow.act_cm,
+                    )
+
+                new_shadow = jax.lax.cond(resync, _resync, _carry, None)
+                field = pallas_spread_shadow(
+                    new_shadow.plan, shape, ibm_capacity
+                )
+                force_field = force_field + field
+            elif use_pallas_ibm:
                 fdep = ftot * act_pad[:, None]
                 ibm_plan = build_ibm_plan(
                     pos_w, shape, ibm_capacity, payload=fdep
@@ -409,7 +494,38 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
 
         # ---- 4: interpolate fluid velocity to vertices --------------------
-        if cells and pos_flat is not None:
+        if cells and pos_flat is not None and shadow_mode and \
+                use_pallas_ibm and shadow is not None:
+            _, u = lbm.macroscopic(f_new, force_field)
+            sh = new_shadow
+
+            def _interp_sh(_unused):
+                vals, vals_cm = pallas_interp_shadow(
+                    sh.plan, u, shape, ibm_capacity
+                )
+                return (
+                    vals * act_pad[:, None],
+                    vals_cm * sh.act_cm[None, :],
+                )
+
+            vel_fallback = jnp.pad(
+                jnp.concatenate([cs.vel.reshape(-1, 3) for cs in cells]),
+                ((0, pad), (0, 0)),
+            )
+            vel_flat, vel_cm_new = _every(
+                it, cfg.particle_every, _interp_sh, None,
+                (vel_fallback, sh.vel_cm),
+            )
+            new_shadow = IbmShadow(sh.plan, vel_cm_new, sh.act_cm)
+            offset = 0
+            for k, cs in enumerate(cells):
+                nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+                cnt = nc * nv
+                cells[k] = cs._replace(
+                    vel=vel_flat[offset : offset + cnt].reshape(nc, nv, 3)
+                )
+                offset += cnt
+        elif cells and pos_flat is not None:
             _, u = lbm.macroscopic(f_new, force_field)
 
             def _interp(_unused):
@@ -551,6 +667,17 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 restime = restime + alive.astype(jnp.int32)
             cells[k] = cs._replace(pos=new_pos, alive=alive, restime=restime)
 
+        # shadow advance: same Euler update in the sorted layout (positions
+        # drift unwrapped; the widened kernel windows absorb it)
+        if shadow_mode and new_shadow is not None and \
+                isinstance(new_shadow, IbmShadow):
+            plan2 = new_shadow.plan._replace(
+                pos_cm=new_shadow.plan.pos_cm.at[:3].add(
+                    new_shadow.vel_cm[:3]
+                )
+            )
+            new_shadow = new_shadow._replace(plan=plan2)
+
         # ---- 6: constitutive model ----------------------------------------
         for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
             def _mech(args, tc=tc, cs=cs):
@@ -569,14 +696,30 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
             cells[k] = cs._replace(force=force)
 
-        return SimState(f=f_new, it=it + 1, cells=tuple(cells),
-                        cepac=cepac_new, omega_field=omega_field_new,
-                        flags_state=flags_new, binding_mask=binding_new,
-                        bc_state=state.bc_state,
-                        body_force_state=state.body_force_state,
-                        le_displacement=le_disp_new)
+        out_state = SimState(f=f_new, it=it + 1, cells=tuple(cells),
+                             cepac=cepac_new, omega_field=omega_field_new,
+                             flags_state=flags_new, binding_mask=binding_new,
+                             bc_state=state.bc_state,
+                             body_force_state=state.body_force_state,
+                             le_displacement=le_disp_new)
+        if shadow_mode:
+            return out_state, new_shadow
+        return out_state
 
     return step
+
+
+def shadow_active(cfg: StepConfig) -> bool:
+    """True when the amortised-resort IBM shadow runs for this config:
+    wall-free, non-LE, pallas spread, resort_every > 1."""
+    if cfg.resort_every <= 1 or cfg.lees_edwards_velocity is not None:
+        return False
+    if bool(np.asarray(cfg.flags).any()) or bool(cfg.solidify_every):
+        return False
+    mode = cfg.spread_mode
+    if mode is None:
+        mode = "pallas" if jax.default_backend() == "tpu" else "scatter"
+    return mode == "pallas" and scoped_vmem_limit_kib(cfg) < 114688
 
 
 def scoped_vmem_limit_kib(cfg: StepConfig) -> int:
@@ -615,9 +758,56 @@ def build_runner(cfg: StepConfig):
     ):
         opts = {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_limit_kib(cfg)}
 
+    if not shadow_active(cfg):
+
+        @partial(jax.jit, static_argnums=(1,), compiler_options=opts)
+        def run(state: SimState, n: int) -> SimState:
+            return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+
+        return run
+
+    # amortised-resort shadow: the sorted IBM layout lives in the loop carry
+    # (ephemeral per runner call — SimState and checkpoints are unchanged);
+    # a full resort happens at entry and then every cfg.resort_every steps
+    from .ibm.pallas_ibm import IbmPlanT, slab_capacity
+
+    K = int(cfg.resort_every)
+    X = int(cfg.shape[0])
+
     @partial(jax.jit, static_argnums=(1,), compiler_options=opts)
     def run(state: SimState, n: int) -> SimState:
-        return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+        P0 = sum(
+            cs.pos.shape[0] * cs.pos.shape[1] for cs in state.cells
+        )
+        if P0 == 0:
+            return jax.lax.fori_loop(
+                0, n, lambda _, s: step(s, None, None)[0], state
+            )
+        P_pad = -(-P0 // 512) * 512
+        C = slab_capacity(P_pad, X)
+        from .ibm.pallas_ibm import SUBDIV as _SD
+
+        plan0 = IbmPlanT(
+            starts=jnp.zeros(X * _SD + 1, jnp.int32),
+            pos_cm=jnp.zeros((4, P_pad + C), cfg.dtype),
+            order=jnp.zeros(P_pad, jnp.int32),
+            ix_s=jnp.zeros(P_pad, jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+            payload_cm=jnp.zeros((4, P_pad + C), cfg.dtype),
+        )
+        shadow0 = IbmShadow(
+            plan=plan0,
+            vel_cm=jnp.zeros((4, P_pad + C), cfg.dtype),
+            act_cm=jnp.zeros(P_pad + C, cfg.dtype),
+        )
+
+        def body(i, carry):
+            st, sh = carry
+            st2, sh2 = step(st, sh, jnp.mod(i, K) == 0)
+            return (st2, sh2)
+
+        out, _ = jax.lax.fori_loop(0, n, body, (state, shadow0))
+        return out
 
     return run
 

@@ -126,16 +126,23 @@ class IbmPlanT(NamedTuple):
     payload_cm: jnp.ndarray | None = None  # [4, P+C] sorted payload
 
 
-def build_ibm_plan(pos, shape, capacity, payload=None) -> IbmPlanT:
+def build_ibm_plan(pos, shape, capacity, payload=None,
+                   subdiv=1) -> IbmPlanT:
     """One multi-operand lax.sort carries positions (and optionally a
     [P,3] payload, e.g. the spread forces) along with the slab keys —
-    measurably faster than argsort + separate row gathers on TPU."""
+    measurably faster than argsort + separate row gathers on TPU.
+
+    ``subdiv`` > 1 sorts with sub-slab resolution (shadow mode: within-slab
+    order then follows x, so drifted vertices concentrate in thin boundary
+    strips and the widened windows stay cheap)."""
     X, Y, Z = (int(s) for s in shape)
     P = pos.shape[0]
     C = capacity
     fshape = jnp.asarray((X, Y, Z), dtype=pos.dtype)
     p = jnp.mod(pos, fshape[None, :])
-    ix = jnp.mod(jnp.floor(p[:, 0]).astype(jnp.int32), X)
+    ix = jnp.clip(
+        jnp.floor(p[:, 0] * subdiv).astype(jnp.int32), 0, X * subdiv - 1
+    )
     iota = jnp.arange(P, dtype=jnp.int32)
     operands = [ix, p[:, 0], p[:, 1], p[:, 2]]
     if payload is not None:
@@ -145,12 +152,15 @@ def build_ibm_plan(pos, shape, capacity, payload=None) -> IbmPlanT:
     ix_s = out[0]
     order = out[-1]
     starts = jnp.searchsorted(
-        ix_s, jnp.arange(X + 1, dtype=jnp.int32)
+        ix_s, jnp.arange(X * subdiv + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    counts = jnp.diff(starts)
+    slab_starts = starts[::subdiv]
+    slab_counts = jnp.diff(slab_starts)
     overflow = jnp.sum(
-        jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0)
-    )
+        jnp.maximum(
+            jnp.mod(slab_starts[:-1], _ALIGN) + slab_counts - C, 0
+        )
+    ).astype(jnp.int32)
     pos_cm = jnp.zeros((4, P + C), pos.dtype)
     pos_cm = pos_cm.at[0, :P].set(jnp.clip(out[1], 0.0, X - 1e-6))
     pos_cm = pos_cm.at[1, :P].set(out[2])
@@ -169,10 +179,24 @@ def build_ibm_plan(pos, shape, capacity, payload=None) -> IbmPlanT:
 # spread
 
 
-def _spread_kernel(C, CH, X, Y, Z, x0, starts_ref, pos_hbm, F_hbm, out_lo,
+def _window_bounds(starts_ref, s, X, M, E, C, CH):
+    """Aligned window start + dynamic chunk count for the program claiming
+    slab ``s``.  ``starts`` has sub-slab resolution M (buckets per slab);
+    the window covers slab s's sorted region extended by E sub-buckets on
+    each side — in shadow mode drifted vertices sit in those boundary
+    strips (the sub-slab sort orders within-slab by x)."""
+    lo_idx = jnp.clip(s * M - E, 0, X * M)
+    hi_idx = jnp.clip((s + 1) * M + E, 0, X * M)
+    start = starts_ref[lo_idx]
+    al = pl.multiple_of((start // _ALIGN) * _ALIGN, _ALIGN)
+    nch = jnp.clip((starts_ref[hi_idx] - al + CH - 1) // CH, 0, C // CH)
+    return al, nch
+
+
+def _spread_kernel(C, CH, X, Y, Z, M, E, starts_ref, pos_hbm, F_hbm, out_lo,
                    out_hi, pos_v, F_v, sem):
-    g = pl.program_id(0) + x0
-    al = _aligned_window(starts_ref, g)
+    g = pl.program_id(0) - (1 if E else 0)  # slab claimed (shadow: -1..X)
+    al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
     cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp_pos.start()
@@ -187,9 +211,6 @@ def _spread_kernel(C, CH, X, Y, Z, x0, starts_ref, pos_hbm, F_hbm, out_lo,
     # bound
     out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
     out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
-    nch = jnp.minimum(
-        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
-    )
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
@@ -228,7 +249,7 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
     path, reference core/immersedBoundaryMethod.h:62-138) is computed from
     the same one-hots and divided out in-kernel."""
     g = pl.program_id(0)
-    al = _aligned_window(starts_ref, g)
+    al, nch = _window_bounds(starts_ref, g, X, 1, 0, C, CH)
 
     cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp_pos.start()
@@ -239,9 +260,6 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
 
     out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
     out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
-    nch = jnp.minimum(
-        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
-    )
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
@@ -341,7 +359,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
         )
     else:
         kernel = functools.partial(
-            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 0
+            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 1, 0
         )
     lo, hi = pl.pallas_call(
         kernel,
@@ -360,21 +378,17 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
 # interpolation
 
 
-def _interp_kernel(C, CH, X, Y, Z, NCH, starts_ref, pos_hbm, u_lo, u_hi,
-                   out_ref, pos_v, sem):
-    g = pl.program_id(0)
-    al = _aligned_window(starts_ref, g)
+def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
+                   u_hi, out_ref, pos_v, sem):
+    g = pl.program_id(0) - (1 if E else 0)
+    # dynamic trip count: only chunks holding this slab's vertices are
+    # computed (the un-sort reads only columns inside the window's occupied
+    # span, so the untouched tail of the output block is never observed)
+    al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
     cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp.start()
     cp.wait()
-
-    # dynamic trip count: only chunks holding this slab's vertices are
-    # computed (the un-sort reads only columns < start[g+1], so the
-    # untouched tail of the output block is never observed)
-    nch = jnp.minimum(
-        (starts_ref[g + 1] - al + CH - 1) // CH, C // CH
-    )
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
@@ -438,7 +452,7 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
         ],
     )
     kernel = functools.partial(
-        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH
+        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, 1, 0
     )
     blocks = pl.pallas_call(
         kernel,
@@ -461,6 +475,145 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
         tuple([order] + cols_sorted), num_keys=1, is_stable=True
     )
     return jnp.stack(unsorted[1:], axis=1), overflow
+
+
+# ---------------------------------------------------------------------------
+# shadow (amortised-resort) variants
+#
+# The per-step x-slab sort is ~half the IBM cost at 64^3.  In shadow mode
+# the sorted layout persists across steps: positions advance IN the sorted
+# arrays (pos_cm[:3] += vel_cm), and the kernels run with widened windows
+# (back=1: slabs s-1..s+1) plus two extra edge programs claiming the
+# "virtual" slabs -1 and X, so vertices may drift up to one full slab —
+# including across the periodic x-boundary, where positions are left
+# UNWRAPPED in [-1, X+1) — before the next resort.  A resort every K steps
+# (and whenever cells teleport) restores the invariant; K*u_max < 1 LU.
+
+
+SUBDIV = 8   # sub-buckets per slab in the shadow sort key
+EXTRA = 2    # boundary-strip sub-buckets each window absorbs as drift
+
+
+def shadow_supported_drift(resort_every: int, u_max: float = 0.05) -> bool:
+    # drift between resorts must stay inside the EXTRA sub-bucket strips
+    return resort_every * u_max < (EXTRA - 1) / SUBDIV
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
+def pallas_spread_shadow(plan, shape, capacity, interpret=None):
+    """Spread from a shadow plan (pos_cm holds CURRENT, possibly drifted,
+    unwrapped positions; payload_cm the current sorted forces).
+
+    Returns the [3,X,Y,Z] field."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    X, Y, Z = (int(s) for s in shape)
+    C = capacity
+    dtype = plan.payload_cm.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, Y, Z), lambda q, s: (q, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Y, Z), lambda q, s: (q, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, C), plan.pos_cm.dtype),
+            pltpu.VMEM((4, C), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA
+    )
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((X + 2, 3, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X + 2, 3, Y, Z), dtype),
+        ),
+        interpret=interpret,
+    )(plan.starts, plan.pos_cm, plan.payload_cm)
+    # fold per-program blocks onto lattice rows: program q claims slab
+    # s = q-1; lo -> row mod(s, X), hi -> row mod(s+1, X)
+    field = lo[1 : X + 1] + hi[0:X]
+    field = field.at[0].add(lo[X + 1] + hi[X])
+    field = field.at[1].add(hi[X + 1])
+    field = field.at[X - 1].add(lo[0])
+    return field.transpose(1, 0, 2, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "capacity", "interpret")
+)
+def pallas_interp_shadow(plan, u, shape, capacity, interpret=None):
+    """Interpolate u [NCH<=4,X,Y,Z] onto the shadow plan's (drifted)
+    vertices.  Returns (vals [P,NCH] in canonical order,
+    vals_cm [4,P+C] in sorted layout — the latter feeds pos_cm updates)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    X, Y, Z = (int(s) for s in shape)
+    NCH = u.shape[0]
+    assert NCH <= 4
+    C = capacity
+    P = plan.order.shape[0]
+    dtype = u.dtype
+    u_x = u.transpose(1, 0, 2, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, NCH, Y, Z), lambda q, s: ((q - 1 + X) % X, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, NCH, Y, Z), lambda q, s: (q % X, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, C), lambda q, s: (q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, C), plan.pos_cm.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, SUBDIV, EXTRA
+    )
+    blocks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((X + 2, 4, C), dtype),
+        interpret=interpret,
+    )(plan.starts, plan.pos_cm, u_x, u_x)
+    # each sorted column i was computed by the program claiming its CURRENT
+    # slab: q = floor(x_i) + 1, at window column i - align(window start)
+    px = plan.pos_cm[0, :P]
+    s_of = jnp.clip(jnp.floor(px).astype(jnp.int32), -1, X)
+    q_of = s_of + 1
+    lo_idx = jnp.clip(s_of * SUBDIV - EXTRA, 0, X * SUBDIV)
+    al = (plan.starts[lo_idx] // _ALIGN) * _ALIGN
+    col = jnp.arange(P, dtype=jnp.int32) - al
+    flat = (q_of * 4) * C + col
+    blocks_flat = blocks.reshape(-1)
+    cols_sorted = [blocks_flat[flat + c * C] for c in range(NCH)]
+    vals_cm = jnp.zeros((4, P + C), dtype)
+    for c in range(NCH):
+        vals_cm = vals_cm.at[c, :P].set(cols_sorted[c])
+    unsorted = jax.lax.sort(
+        tuple([plan.order] + cols_sorted), num_keys=1, is_stable=True
+    )
+    return jnp.stack(unsorted[1:], axis=1), vals_cm
 
 
 # ---------------------------------------------------------------------------

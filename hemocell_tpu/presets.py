@@ -83,6 +83,7 @@ def rbc_suspension(
     material_every: int = 1,
     seed: int = 0,
     spread_mode=None,
+    resort_every: int = 1,
 ):
     """Periodic box of RBCs, optionally sheared by two moving walls (z faces)
     or driven by a body force.  Returns (cfg, state, meta)."""
@@ -131,6 +132,7 @@ def rbc_suspension(
         repulsion_every=1,
         dtype=dtype,
         spread_mode=spread_mode,
+        resort_every=resort_every,
     )
     state = initial_sim_state(cfg, [make_cell_state(cells, dtype=dtype)])
     meta = {
