@@ -217,6 +217,10 @@ class HemoCell:
         self.cell_states.append(make_cell_state(np.zeros((0, mesh.num_vertices, 3)),
                                                 dtype=self.dtype))
         self._dirty = True
+        # honour <enableInteriorViscosity> in the material XML (reference:
+        # tools/cell_templates/RBC_template.xml keys)
+        if mat_cfg.get("enableInteriorViscosity", int, 0):
+            self.enable_interior_viscosity(len(self.cell_types) - 1)
         return ct
 
     def load_particles(self, pos_dir: Optional[str] = None):
