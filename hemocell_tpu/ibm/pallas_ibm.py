@@ -21,8 +21,9 @@ kernel:
     block, and one XLA gather un-sorts the per-slab copies (each vertex
     reads the block of its OWN slab, where it is always computed correctly).
 
-Wall-free domains only (boundary-aware renormalisation falls back to the
-jnp path); window overflow is returned for callers to assert on.
+Walled domains fuse the boundary-aware weight renormalisation into the
+spread kernel (mask= argument); window overflow is returned for callers to
+assert on (HemoCell.sanity_check warns on tight occupancy).
 """
 
 from __future__ import annotations
@@ -40,11 +41,11 @@ _ALIGN = 128
 
 
 def pallas_ibm_fits(shape) -> bool:
-    """This toolchain stack-allocates scalar-prefetch pallas outputs in
-    scoped VMEM; the IBM kernels are only usable while the spread outputs
-    (2 x [X,3,Y,Z] f32) fit the budget.  Larger domains fall back to the
-    XLA scatter path (next round: static binned layout without scalar
-    prefetch)."""
+    """True while the spread outputs (2 x [X,3,Y,Z] f32) fit the
+    toolchain's DEFAULT scoped-VMEM stack-allocation budget.  Above this,
+    build_runner raises the per-jit budget via compiler options
+    (dynamics.scoped_vmem_limit_kib) — the kernels work at any size up to
+    physical VMEM."""
     X, Y, Z = (int(v) for v in shape)
     return 2 * X * 3 * Y * Z * 4 <= 7 * 2**20
 
@@ -480,14 +481,16 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
 # ---------------------------------------------------------------------------
 # shadow (amortised-resort) variants
 #
-# The per-step x-slab sort is ~half the IBM cost at 64^3.  In shadow mode
-# the sorted layout persists across steps: positions advance IN the sorted
-# arrays (pos_cm[:3] += vel_cm), and the kernels run with widened windows
-# (back=1: slabs s-1..s+1) plus two extra edge programs claiming the
-# "virtual" slabs -1 and X, so vertices may drift up to one full slab —
-# including across the periodic x-boundary, where positions are left
-# UNWRAPPED in [-1, X+1) — before the next resort.  A resort every K steps
-# (and whenever cells teleport) restores the invariant; K*u_max < 1 LU.
+# In shadow mode the sorted layout persists across steps: positions advance
+# IN the sorted arrays (pos_cm[:3] += vel_cm) and the per-step sort
+# disappears.  The sort key has sub-slab resolution (SUBDIV buckets per
+# slab) so within-slab order follows x: vertices that drift across a slab
+# boundary sit in thin strips next to it, and each program's window only
+# extends EXTRA sub-buckets past its slab.  Two extra edge programs claim
+# the "virtual" slabs -1 and X for drift across the periodic x-boundary,
+# where positions are left UNWRAPPED in [-1, X+1) until the next resort.
+# A resort every K steps restores the invariant; K*u_max must stay inside
+# the strips (shadow_supported_drift).
 
 
 SUBDIV = 8   # sub-buckets per slab in the shadow sort key
