@@ -39,6 +39,10 @@ class CellTypeState(NamedTuple):
     # HemoCellParticle.restime in serializeValues_t,
     # core/hemoCellParticle.h:45-63, incremented on advance)
     restime: jnp.ndarray = None
+    # previous velocity for Adams-Bashforth integration (reference:
+    # HEMOCELL_MATERIAL_INTEGRATION == 2, core/hemoCellParticle.h:188-203;
+    # None while the default Euler scheme is active)
+    vel_prev: jnp.ndarray = None
 
     @property
     def num_cells(self):
@@ -49,14 +53,18 @@ class CellTypeState(NamedTuple):
         return self.pos.shape[1]
 
 
-def make_cell_state(positions: np.ndarray, dtype=jnp.float32) -> CellTypeState:
-    """positions: [NC, NV, 3] initial vertex positions (lattice units)."""
+def make_cell_state(positions: np.ndarray, dtype=jnp.float32,
+                    adams_bashforth: bool = False) -> CellTypeState:
+    """positions: [NC, NV, 3] initial vertex positions (lattice units).
+    ``adams_bashforth`` allocates the previous-velocity buffer for
+    StepConfig.material_integration == 2."""
     pos = jnp.asarray(positions, dtype=dtype)
     z = jnp.zeros_like(pos)
     alive = jnp.ones(pos.shape[0], dtype=bool)
     solidify = jnp.zeros(pos.shape[0], dtype=bool)
     restime = jnp.zeros(pos.shape[0], dtype=jnp.int32)
-    return CellTypeState(pos, z, z, z, alive, solidify, restime)
+    vel_prev = z if adams_bashforth else None
+    return CellTypeState(pos, z, z, z, alive, solidify, restime, vel_prev)
 
 
 def place_cells(

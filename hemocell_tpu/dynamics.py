@@ -124,6 +124,10 @@ class StepConfig:
     # Only active on wall-free non-LE pallas domains; requires
     # resort_every * u_max < 1 LU.
     resort_every: int = 1
+    # vertex integration scheme (reference HEMOCELL_MATERIAL_INTEGRATION,
+    # core/hemoCellParticle.h:188-203): 1 = Euler, 2 = Adams-Bashforth
+    # (pos += 1.5 v - 0.5 v_prev; needs CellTypeState.vel_prev)
+    material_integration: int = 1
 
 
 class IbmShadow(NamedTuple):
@@ -652,7 +656,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
         # ---- 5: advance + boundary-contact deletion -----------------------
         for k, cs in enumerate(cells):
-            new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
+            if cfg.material_integration == 2 and cs.vel_prev is not None:
+                # Adams-Bashforth (hemoCellParticle.h:197-200)
+                new_pos = cs.pos + 1.5 * cs.vel - 0.5 * cs.vel_prev
+                cs = cs._replace(vel_prev=cs.vel)
+            else:
+                new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
             if has_boundaries:
                 nc, nv = new_pos.shape[0], new_pos.shape[1]
                 hit = coupling.on_boundary(
@@ -713,6 +722,9 @@ def shadow_active(cfg: StepConfig) -> bool:
     """True when the amortised-resort IBM shadow runs for this config:
     wall-free, non-LE, pallas spread, resort_every > 1."""
     if cfg.resort_every <= 1 or cfg.lees_edwards_velocity is not None:
+        return False
+    if cfg.material_integration != 1:
+        # the shadow advance mirrors plain Euler (pos_cm += vel_cm)
         return False
     if bool(np.asarray(cfg.flags).any()) or bool(cfg.solidify_every):
         return False

@@ -76,3 +76,32 @@ def test_exit_signal_checkpoints_and_exits(tmp_path):
     with pytest.raises(SystemExit):
         hc.iterate(1)
     assert os.path.exists(tmp_path / "out" / "checkpoint" / "checkpoint.npz")
+
+
+def test_adams_bashforth_integration():
+    """material_integration=2: pos += 1.5v - 0.5v_prev
+    (core/hemoCellParticle.h:197-200)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from hemocell_tpu.cells.state import make_cell_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(16, 16, 16), n_cells=1, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    cfg2 = dataclasses.replace(cfg, material_integration=2)
+    cells2 = tuple(
+        make_cell_state(np.asarray(cs.pos), adams_bashforth=True)
+        for cs in state.cells
+    )
+    state2 = state._replace(cells=cells2)
+    out_e = build_runner(cfg)(state, 5)
+    out_ab = build_runner(cfg2)(state2, 5)
+    pe = np.asarray(out_e.cells[0].pos)
+    pab = np.asarray(out_ab.cells[0].pos)
+    # both advance, and the schemes genuinely differ
+    assert not np.allclose(pab, np.asarray(state.cells[0].pos))
+    assert not np.array_equal(pe, pab)
+    assert np.asarray(out_ab.cells[0].vel_prev).shape == pe.shape
