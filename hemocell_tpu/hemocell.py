@@ -367,6 +367,7 @@ class HemoCell:
             bc_velocity=self.bc_velocity,
             body_force=self.body_force,
             particle_every=self.particle_every,
+            resort_every=getattr(self, "resort_every", 1),
             f_limit=self.params.f_limit,
             repulsion_constant=self.repulsion_constant,
             repulsion_cutoff=self.repulsion_cutoff,
@@ -411,6 +412,13 @@ class HemoCell:
                 cells=tuple(self.cell_states), cepac=self._state.cepac,
             )
         self._dirty = False
+
+    def set_resort_every(self, n: int):
+        """Amortise the Pallas IBM vertex sort over n steps (wall-free
+        domains only; keep n * u_lbm_max < 0.125 — see
+        StepConfig.resort_every)."""
+        self.resort_every = int(n)
+        self._dirty = True
 
     def distribute(self, n_devices: int | None = None, mesh=None):
         """Run the simulation domain-decomposed over a device mesh — the
