@@ -83,6 +83,10 @@ def main():
     # cell-free fluid warmup happens inside the coupled loop too (forces are
     # zero until mechanics kick in), so a plain iterate is equivalent here.
 
+    from hemocell_tpu.utils.metrics import MetricsLog
+
+    metrics = MetricsLog(hc.outdir) if hc.outdir else None
+
     t_wall = time.time()
     while hc.iter < tmax:
         n = min(tmeas, tmax - hc.iter)
@@ -105,6 +109,7 @@ def main():
         )
         if hc.outdir:
             hc.write_output()
+            metrics.record(hc)
             if tcheckpoint and hc.iter % tcheckpoint == 0:
                 hc.save_checkpoint()
     print("(main) Simulation finished :)")

@@ -141,3 +141,35 @@ def test_async_output(tmp_path):
     fs = h5py.File(glob.glob(str(tmp_path / "sync" / "**" / "Fluid*.h5"),
                              recursive=True)[0])
     assert np.array_equal(fa["Velocity"][:], fs["Velocity"][:])
+
+
+def test_metrics_log(tmp_path):
+    """metrics.dat rows + plots (analog of scripts/plot_metrics.py)."""
+    from hemocell_tpu import HemoCell
+    from hemocell_tpu.utils.metrics import MetricsLog, plot_metrics
+
+    cfgdir = tmp_path / "case"
+    os.makedirs(cfgdir, exist_ok=True)
+    (cfgdir / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx><dt>1e-7</dt>
+        <kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    hc = HemoCell(str(cfgdir / "config.xml"))
+    hc.params.u_lbm_max = 0.01
+    flags = np.zeros((16, 8, 8), np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    flags[:, :, -1] = FLAG_WALL
+    hc.initialize_lattice(flags=flags)
+    hc.set_body_force((1e-6, 0.0, 0.0))
+    hc.set_output_dir(str(tmp_path / "out"))
+    m = MetricsLog(hc.outdir)
+    for _ in range(2):
+        hc.iterate(5)
+        hc.block()
+        m.record(hc)
+    data = np.loadtxt(m.path)
+    assert data.shape == (2, 5)
+    assert data[1, 0] == 10
+    plot_metrics(hc.outdir)  # smoke (skips silently without matplotlib)
