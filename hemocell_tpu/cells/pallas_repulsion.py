@@ -62,7 +62,10 @@ def _repulsion_kernel(C, W, CH, X, k_rep, cutoff, starts_ref,
     pw = pos_v[:3, :]  # [3, W] window positions
     gw = gid_v[0:1, :]  # [1, W] window cell ids (float-encoded)
 
-    own_off = al - al_w  # offset of the own window inside the extended one
+    # offset of the own window inside the extended one; both starts are
+    # align_down'ed so the difference is a multiple of _ALIGN, but Mosaic
+    # cannot prove that through the subtraction — re-assert the hint.
+    own_off = pl.multiple_of(al - al_w, _ALIGN)
 
     n_chunks = C // CH
     for ci in range(n_chunks):
@@ -138,8 +141,8 @@ def pallas_repulsion(pos, cell_gid, active, shape, k_rep, cutoff,
         num_scalar_prefetch=1,
         grid=(X,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 4, C), lambda g, s: (g, 0, 0),
                                memory_space=pltpu.VMEM),

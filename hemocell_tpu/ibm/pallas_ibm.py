@@ -324,8 +324,8 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [pos_cm, F_cm]
     if mask is not None:
@@ -439,7 +439,7 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
         num_scalar_prefetch=1,
         grid=(X,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, NCH, Y, Z), lambda g, s: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NCH, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
@@ -518,8 +518,8 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None):
         num_scalar_prefetch=1,
         grid=(X + 2,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 3, Y, Z), lambda q, s: (q, 0, 0, 0),
@@ -575,7 +575,7 @@ def pallas_interp_shadow(plan, u, shape, capacity, interpret=None):
         num_scalar_prefetch=1,
         grid=(X + 2,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, NCH, Y, Z), lambda q, s: ((q - 1 + X) % X, 0, 0, 0),
                 memory_space=pltpu.VMEM),
