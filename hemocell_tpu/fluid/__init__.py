@@ -2,6 +2,7 @@ from . import d3q19, lbm
 from .lbm import (
     collide,
     equilibrium,
+    equilibrium_dev,
     initial_state,
     macroscopic,
     shear_rate_magnitude,
@@ -15,6 +16,7 @@ __all__ = [
     "lbm",
     "collide",
     "equilibrium",
+    "equilibrium_dev",
     "initial_state",
     "macroscopic",
     "shear_rate_magnitude",

@@ -16,6 +16,14 @@ Palabos engine).  Design:
     shifts on a sharded array to ICI halo exchanges automatically.
   * Guo forcing: u = (sum_i c_i f_i + F/2)/rho used in the equilibrium, and
     a source term S_i = (1 - omega/2) w_i [3(c-u) + 9(c.u)c] . F.
+  * **Deviation storage**: the ``f`` arrays hold ``h_i = f_i - w_i`` — the
+    population minus its lattice weight (Palabos stores the same ``fBar``).
+    At f32 this is essential: raw populations sit at O(w) ~ 0.05 where one
+    ulp is ~4e-9, so weak Guo forcing (e.g. the stenosis case's 2.6e-8 lu
+    pressure gradient) rounds away entirely; deviations sit near 0 with
+    ~1e-12 resolution.  The algebra is unchanged except rho = 1 + sum h and
+    the equilibrium loses its constant w term (``equilibrium_dev``);
+    streaming, bounce-back and the Guo source are w-shift invariant.
 
 Everything here is shape-static and jit/vmap/shard_map friendly.
 """
@@ -52,15 +60,31 @@ def equilibrium(rho, u, dtype=None):
     return w_b * rho[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq[None])
 
 
-def macroscopic(f, force=None):
-    """Density and Guo-corrected velocity.
+def equilibrium_dev(rho, u, dtype=None):
+    """Deviation equilibrium ``feq_i - w_i`` for h-storage:
+    w_i [(rho - 1) + rho (3 c.u + 4.5 (c.u)^2 - 1.5 u.u)].
+    """
+    dtype = dtype or u.dtype
+    c, w = _consts(dtype)
+    cu = jnp.tensordot(c, u, axes=([1], [0]))  # [19, ...]
+    usq = jnp.sum(u * u, axis=0)  # [...]
+    shape = (19,) + (1,) * (u.ndim - 1)
+    w_b = w.reshape(shape)
+    drho = rho - 1.0
+    return w_b * (
+        drho[None] + rho[None] * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq[None])
+    )
 
-    f: [19, X, Y, Z]; force: [3, X, Y, Z] or None.
+
+def macroscopic(f, force=None):
+    """Density and Guo-corrected velocity from deviation populations.
+
+    f: [19, X, Y, Z] holding h = f - w; force: [3, X, Y, Z] or None.
     Returns rho [X,Y,Z], u [3,X,Y,Z] with u including the +F/2 shift
     (the velocity the reference interpolates to particles).
     """
     c, _ = _consts(f.dtype)
-    rho = jnp.sum(f, axis=0)
+    rho = 1.0 + jnp.sum(f, axis=0)
     mom = jnp.tensordot(c.T, f, axes=([1], [0]))  # [3, X, Y, Z]
     if force is not None:
         mom = mom + 0.5 * force
@@ -80,7 +104,7 @@ def collide(f, force, omega, flags, bc_velocity=None):
     dtype = f.dtype
     c, w = _consts(dtype)
     rho, u = macroscopic(f, force)
-    feq = equilibrium(rho, u)
+    feq = equilibrium_dev(rho, u)
 
     om = jnp.asarray(omega, dtype)
     if om.ndim == 0:
@@ -130,7 +154,8 @@ def stream_collide(f, force, omega, flags, bc_velocity=None):
 
 
 def initial_state(shape, rho0=1.0, u0=(0.0, 0.0, 0.0), dtype=jnp.float32):
-    """Equilibrium populations at uniform rho/velocity.
+    """Equilibrium deviation populations at uniform rho/velocity
+    (exactly zero for the rho=1 rest state).
 
     shape: (X, Y, Z)
     """
@@ -138,7 +163,7 @@ def initial_state(shape, rho0=1.0, u0=(0.0, 0.0, 0.0), dtype=jnp.float32):
     u = jnp.stack(
         [jnp.full(shape, v, dtype=dtype) for v in u0], axis=0
     )
-    return equilibrium(rho, u)
+    return equilibrium_dev(rho, u)
 
 
 def strain_rate_tensor(f, force, omega):
@@ -152,7 +177,7 @@ def strain_rate_tensor(f, force, omega):
     dtype = f.dtype
     c, _ = _consts(dtype)
     rho, u = macroscopic(f, force)
-    feq = equilibrium(rho, u)
+    feq = equilibrium_dev(rho, u)
     fneq = f - feq
     pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
     comps = []

@@ -32,7 +32,7 @@ from .lbm import collide, equilibrium, macroscopic
 def _plane_eq_shift(f_plane, du, dtype):
     """feq(rho,u+du) - feq(rho,u) for one z-plane [19, X, Y]."""
     c = jnp.asarray(d3q19.C, dtype)
-    rho = jnp.sum(f_plane, axis=0)
+    rho = 1.0 + jnp.sum(f_plane, axis=0)  # deviation storage (lbm.py)
     mom = jnp.tensordot(c.T, f_plane, axes=([1], [0]))
     u = mom / rho[None]
     u_shift = u + jnp.asarray(du, dtype)[:, None, None]

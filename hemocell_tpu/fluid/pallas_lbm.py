@@ -53,11 +53,13 @@ def _csum(terms):
 def _collide_local(f, force, omega, flags, bc_velocity):
     """BGK+Guo+masks on a [19, S, Y, Z] slab; same math as lbm.collide but
     fully unrolled with python-scalar lattice constants (Pallas kernels
-    cannot capture device-array constants)."""
+    cannot capture device-array constants).  ``f`` holds deviation
+    populations h = f - w (see fluid/lbm.py docstring)."""
     # macroscopic moments
     rho = f[0]
     for q in range(1, 19):
         rho = rho + f[q]
+    rho = rho + 1.0
     mom = []
     for i in range(3):
         mom.append(
@@ -85,10 +87,14 @@ def _collide_local(f, force, omega, flags, bc_velocity):
         ) if (cx or cy or cz) else None
         uF = u[0] * force[0] + u[1] * force[1] + u[2] * force[2]
         if cu is None:
-            feq = wq * rho * (1.0 - 1.5 * usq)
+            # deviation equilibrium: feq - w = w [(rho-1) - 1.5 rho usq]
+            feq = wq * ((rho - 1.0) - 1.5 * rho * usq)
             S = wq * (-3.0 * uF)
         else:
-            feq = wq * rho * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+            feq = wq * (
+                (rho - 1.0)
+                + rho * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+            )
             S = wq * (3.0 * (cF - uF) + 9.0 * cu * cF)
         f_bgk = f[q] - omega * (f[q] - feq) + om_c * S
 
@@ -156,10 +162,18 @@ def _kernel(tx, has_bc, omega_is_field, *refs):
 
 
 def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
-    """Largest divisor of X whose extended working set fits VMEM."""
+    """Largest divisor of X whose extended working set fits VMEM.
+
+    Mosaic pads each block's trailing dims to the (8, 128) f32 tile, so the
+    estimate must use the padded Y/Z — a 24-lane Z costs 128 lanes of VMEM.
+    Returns 0 when even tx=1 cannot fit (huge Y*Z planes): callers fall back
+    to the unfused jnp path.
+    """
+    yp = -(-Y // 8) * 8
+    zp = -(-Z // 128) * 128
     # bytes per extended slab row: (19 f + 19 post + 3 force + 1 flags) * 4
-    per_row = (19 * 2 + 3 + 1 + 3) * Y * Z * 4
-    best = 1
+    per_row = (19 * 2 + 3 + 1 + 3) * yp * zp * 4
+    best = 0
     for tx in range(1, X + 1):
         if X % tx == 0 and (tx + 2) * per_row < vmem_budget:
             best = tx
@@ -178,6 +192,12 @@ def stream_collide_pallas(
     Q, X, Y, Z = f.shape
     if tx is None:
         tx = _pick_tx(X, Y, Z)
+    if tx == 0:
+        # a single padded (Y, Z) plane row already overflows VMEM — run the
+        # unfused jnp path (XLA tiles it through HBM) rather than OOM
+        from . import lbm
+
+        return lbm.stream_collide(f, force, omega, flags, bc_velocity)
     n = X // tx
     assert X % tx == 0, (X, tx)
 

@@ -124,6 +124,13 @@ class HemoCell:
         if flags is not None:
             flags = np.asarray(flags, dtype=np.uint8)
             shape = flags.shape
+            from .config.defaults import FLAG_FLUID
+
+            if not (flags == FLAG_FLUID).any():
+                raise ValueError(
+                    "flag matrix contains no fluid nodes — geometry bug? "
+                    f"(shape {shape})"
+                )
         else:
             flags = np.zeros(shape, dtype=np.uint8)
         self.shape = tuple(int(s) for s in shape)
@@ -298,6 +305,15 @@ class HemoCell:
         self.solidify_every = int(every)
         self._dirty = True
 
+    def populate_binding_sites(self, mask):
+        """Restrict platelet binding sites to ``mask`` (nodes outside keep no
+        binding even when wall-adjacent).  Reference:
+        HemoCellFields::populateBindingSites(Box3D*) + helper/bindingField —
+        the solidify cases seed binding only on a chosen wall segment
+        (cases/solidify_example/solidify_example.cpp:120-122)."""
+        self._binding_sites = np.asarray(mask) > 0
+        self._dirty = True
+
     def enable_cepac(self, diffusivity_lbm: float = 1.0 / 6.0,
                      dirichlet_mask=None, dirichlet_value=None):
         """CEPAC scalar advection-diffusion field (reference:
@@ -406,10 +422,17 @@ class HemoCell:
                 u0=getattr(self, "_u0", (0.0, 0.0, 0.0)),
             )
         else:
-            # keep fluid + iteration, adopt (possibly new) cell states
-            self._state = SimState(
-                f=self._state.f, it=self._state.it,
-                cells=tuple(self.cell_states), cepac=self._state.cepac,
+            # keep fluid + iteration (and every auxiliary field), adopt
+            # (possibly new) cell states
+            self._state = self._state._replace(cells=tuple(self.cell_states))
+        if getattr(self, "_binding_sites", None) is not None \
+                and self._state.binding_mask is not None:
+            # restrict binding to wall-adjacent nodes inside the user mask
+            # (reference: HemoCellFields::populateBindingSites over a Box3D,
+            # helper/bindingField.{h,cpp})
+            self._state = self._state._replace(
+                binding_mask=self._state.binding_mask
+                & jnp.asarray(self._binding_sites)
             )
         self._dirty = False
 
@@ -504,7 +527,7 @@ class HemoCell:
         return u
 
     def fluid_density(self):
-        return jnp.sum(self.state.f, axis=0)
+        return 1.0 + jnp.sum(self.state.f, axis=0)  # deviation storage
 
     def cell_volumes(self, type_index=0):
         ct = self.cell_types[type_index]
@@ -563,6 +586,9 @@ class HemoCell:
 
     def setSystemPeriodicity(self, axis, value):
         self.set_system_periodicity(axis, value)
+
+    def populateBindingSites(self, mask):
+        return self.populate_binding_sites(mask)
 
     def loadParticles(self, *a, **kw):
         return self.load_particles(*a, **kw)

@@ -35,7 +35,7 @@ def test_equilibrium_macroscopic_roundtrip():
         jnp.full(shape, -0.01, DT),
         jnp.full(shape, 0.005, DT),
     ])
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     rho2, u2 = lbm.macroscopic(f)
     np.testing.assert_allclose(np.asarray(rho2), np.asarray(rho), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-12)
@@ -46,7 +46,7 @@ def test_collision_conserves_mass_momentum():
     shape = (4, 4, 4)
     rho = 1.0 + 0.01 * jax.random.normal(key, shape, DT)
     u = 0.01 * jax.random.normal(key, (3,) + shape, DT)
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     # perturb off equilibrium
     f = f * (1.0 + 0.01 * jax.random.normal(key, f.shape, DT))
     force = jnp.zeros((3,) + shape, DT)
@@ -162,7 +162,7 @@ def test_bounce_back_mass_conservation():
     key = jax.random.PRNGKey(1)
     rho = 1.0 + 0.05 * jax.random.normal(key, shape, DT)
     u = 0.02 * jax.random.normal(key, (3,) + shape, DT)
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     force = jnp.zeros((3,) + shape, DT)
     m0 = float(jnp.sum(f))
     for _ in range(50):

@@ -20,7 +20,7 @@ def test_uniform_shear_steady():
     u = jnp.zeros((3, X, Y, Z), jnp.float64)
     u = u.at[0].set(jnp.broadcast_to(ux, (X, Y, Z)))
     rho = jnp.ones((X, Y, Z), jnp.float64)
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     force = jnp.zeros((3, X, Y, Z), jnp.float64)
     u_rel = gamma * Z  # relative image velocity
 
@@ -34,7 +34,7 @@ def test_uniform_shear_steady():
     expect = np.asarray(ux)
     np.testing.assert_allclose(prof, expect, atol=gamma * 0.2)
     # mass conserved
-    np.testing.assert_allclose(float(jnp.sum(f)), X * Y * Z, rtol=1e-10)
+    np.testing.assert_allclose(float(jnp.sum(f)), 0.0, atol=1e-10)  # dev storage: sum h = 0 at rho=1
 
 
 def test_le_reduces_to_periodic_at_zero_shear():
@@ -42,7 +42,7 @@ def test_le_reduces_to_periodic_at_zero_shear():
     key = jax.random.PRNGKey(0)
     rho = 1.0 + 0.01 * jax.random.normal(key, (X, Y, Z), jnp.float64)
     u = 0.01 * jax.random.normal(key, (3, X, Y, Z), jnp.float64)
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     force = jnp.zeros((3, X, Y, Z), jnp.float64)
     flags = jnp.zeros((X, Y, Z), jnp.uint8)
     a = le_stream_collide(f, force, 0.9, 0.0, 0.0)

@@ -22,7 +22,7 @@ def test_shardmap_halo_fluid_matches():
     shape = (32, 8, 128)
     rho = 1.0 + 0.02 * jax.random.normal(key, shape, jnp.float64)
     u = 0.02 * jax.random.normal(key, (3,) + shape, jnp.float64)
-    f = lbm.equilibrium(rho, u)
+    f = lbm.equilibrium_dev(rho, u)
     force = 1e-5 * jax.random.normal(key, (3,) + shape, jnp.float64)
     flags = np.zeros(shape, np.uint8)
     flags[:, 0, :] = FLAG_WALL
