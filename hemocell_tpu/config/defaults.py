@@ -37,6 +37,7 @@ NFACES_REF = 1280.0
 FLAG_FLUID = 0
 FLAG_WALL = 1  # bounce-back
 FLAG_VELOCITY = 2  # prescribed-velocity (equilibrium) node
+FLAG_PRESSURE = 3  # fixed-density (anti-bounce-back) outlet node
 
 # Default output field ids kept for API parity with the reference
 # (reference: config/constant_defaults.h:34-112)

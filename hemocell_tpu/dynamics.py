@@ -87,6 +87,9 @@ class StepConfig:
     omega: Any  # scalar or [X,Y,Z]
     types: Sequence[TypeConfig] = field(default_factory=list)
     bc_velocity: Optional[jnp.ndarray] = None  # [3,X,Y,Z]
+    # fixed-density (anti-bounce-back) outlet value at FLAG_PRESSURE nodes
+    # (reference: Zou-He addPressureBoundary + setBoundaryDensity)
+    bc_density: Optional[float] = None
     body_force: Optional[jnp.ndarray] = None  # [3] or [3,X,Y,Z]
     particle_every: int = 1  # stepParticleEvery
     f_limit: float = 1e30
@@ -479,11 +482,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 from .fluid.pallas_lbm import stream_collide_pallas
 
                 f_new = stream_collide_pallas(
-                    state.f, force_field, omega, flags, bc_velocity
+                    state.f, force_field, omega, flags, bc_velocity,
+                    bc_density=cfg.bc_density,
                 )
             else:
                 f_new = lbm.stream_collide(
-                    state.f, force_field, omega, flags, bc_velocity
+                    state.f, force_field, omega, flags, bc_velocity,
+                    bc_density=cfg.bc_density,
                 )
 
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config.defaults import FLAG_FLUID, FLAG_VELOCITY, FLAG_WALL
+from ..config.defaults import FLAG_FLUID, FLAG_PRESSURE, FLAG_VELOCITY, FLAG_WALL
 from . import d3q19
 
 
@@ -92,7 +92,7 @@ def macroscopic(f, force=None):
     return rho, u
 
 
-def collide(f, force, omega, flags, bc_velocity=None):
+def collide(f, force, omega, flags, bc_velocity=None, bc_density=None):
     """Fused BGK+Guo collision with masked bounce-back / velocity nodes.
 
     f:      [19, X, Y, Z] pre-collision populations
@@ -100,6 +100,11 @@ def collide(f, force, omega, flags, bc_velocity=None):
     omega:  scalar or [X, Y, Z] relaxation frequency
     flags:  uint8 [X, Y, Z]
     bc_velocity: [3, X, Y, Z] prescribed velocity (used at FLAG_VELOCITY)
+    bc_density: scalar target density at FLAG_PRESSURE nodes (anti-bounce-
+        back fixed-density outlet — the TPU-native replacement for the
+        reference's Zou-He ``addPressureBoundary`` outlets, e.g.
+        cases/preinlet_shear/preinlet_shear.cpp:113-115, setBoundaryDensity
+        1.0 at cases/injured_vessel outlets)
     """
     dtype = f.dtype
     c, w = _consts(dtype)
@@ -132,6 +137,19 @@ def collide(f, force, omega, flags, bc_velocity=None):
         cu_w = jnp.tensordot(c, bc_velocity.astype(dtype), axes=([1], [0]))
         f_mb = f_bb + 6.0 * w_b * cu_w
         out = jnp.where((flags == FLAG_VELOCITY)[None], f_mb, out)
+
+    if bc_density is not None:
+        # fixed-density node: replace with the equilibrium at the target
+        # density and the node's own (outflow) velocity — a first-order
+        # density-Dirichlet outlet.  (Anti-bounce-back with the local u was
+        # tried and is unstable next to velocity inlets: the 4.5(c.u)^2 term
+        # feeds back through the polluted boundary-node velocity.)
+        rho0 = jnp.asarray(bc_density, dtype)
+        usq = jnp.sum(u * u, axis=0)[None]
+        f_pr = w_b * (
+            (rho0 - 1.0) + rho0 * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+        )
+        out = jnp.where((flags == FLAG_PRESSURE)[None], f_pr, out)
     return out
 
 
@@ -147,10 +165,11 @@ def stream(f):
     return jnp.stack(outs, axis=0)
 
 
-def stream_collide(f, force, omega, flags, bc_velocity=None):
+def stream_collide(f, force, omega, flags, bc_velocity=None,
+                   bc_density=None):
     """One full LBM step (collide then stream), the reference's
     ``lattice->collideAndStream()``."""
-    return stream(collide(f, force, omega, flags, bc_velocity))
+    return stream(collide(f, force, omega, flags, bc_velocity, bc_density))
 
 
 def initial_state(shape, rho0=1.0, u0=(0.0, 0.0, 0.0), dtype=jnp.float32):

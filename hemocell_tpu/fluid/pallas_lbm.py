@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config.defaults import FLAG_FLUID, FLAG_VELOCITY, FLAG_WALL
+from ..config.defaults import FLAG_FLUID, FLAG_PRESSURE, FLAG_VELOCITY, FLAG_WALL
 from . import d3q19
 
 _C = d3q19.C  # [19, 3] host ints
@@ -50,7 +50,7 @@ def _csum(terms):
     return acc
 
 
-def _collide_local(f, force, omega, flags, bc_velocity):
+def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     """BGK+Guo+masks on a [19, S, Y, Z] slab; same math as lbm.collide but
     fully unrolled with python-scalar lattice constants (Pallas kernels
     cannot capture device-array constants).  ``f`` holds deviation
@@ -73,6 +73,8 @@ def _collide_local(f, force, omega, flags, bc_velocity):
     is_wall = flags == FLAG_WALL
     if bc_velocity is not None:
         is_vel = flags == FLAG_VELOCITY
+    if bc_density is not None:
+        is_pres = flags == FLAG_PRESSURE
 
     om_c = 1.0 - 0.5 * omega
     outs = [None] * 19
@@ -113,11 +115,23 @@ def _collide_local(f, force, omega, flags, bc_velocity):
                 )
                 f_mb = f_bb + (6.0 * wq) * cu_w
             out = jnp.where(is_vel, f_mb, out)
+        if bc_density is not None:
+            # fixed-density outlet: equilibrium at (rho0, local u) — see
+            # lbm.collide for why not anti-bounce-back
+            r0 = bc_density
+            if cu is None:
+                f_pr = wq * ((r0 - 1.0) - 1.5 * r0 * usq)
+            else:
+                f_pr = wq * (
+                    (r0 - 1.0)
+                    + r0 * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+                )
+            out = jnp.where(is_pres, f_pr, out)
         outs[q] = out
     return outs
 
 
-def _kernel(tx, has_bc, omega_is_field, *refs):
+def _kernel(tx, has_bc, omega_is_field, bc_density, *refs):
     if has_bc and omega_is_field:
         (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
          flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi,
@@ -146,7 +160,8 @@ def _kernel(tx, has_bc, omega_is_field, *refs):
     if has_bc:
         bc_ext = jnp.concatenate([bc_lo[:], bc_body[:], bc_hi[:]], axis=1)
 
-    post = _collide_local(f_ext, force_ext, omega, flags_ext, bc_ext)
+    post = _collide_local(f_ext, force_ext, omega, flags_ext, bc_ext,
+                          bc_density)
 
     # pull: out[q, x] = post[q][x - cx] with x in [1, tx] of the extended
     # slab; Y/Z are full so periodic shift = roll.
@@ -181,10 +196,11 @@ def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tx", "interpret")
+    jax.jit, static_argnames=("tx", "interpret", "bc_density")
 )
 def stream_collide_pallas(
-    f, force, omega, flags, bc_velocity=None, tx=None, interpret=None
+    f, force, omega, flags, bc_velocity=None, tx=None, interpret=None,
+    bc_density=None,
 ):
     """Drop-in fused replacement for lbm.stream_collide (single shard)."""
     if interpret is None:
@@ -197,7 +213,8 @@ def stream_collide_pallas(
         # unfused jnp path (XLA tiles it through HBM) rather than OOM
         from . import lbm
 
-        return lbm.stream_collide(f, force, omega, flags, bc_velocity)
+        return lbm.stream_collide(f, force, omega, flags, bc_velocity,
+                                  bc_density)
     n = X // tx
     assert X % tx == 0, (X, tx)
 
@@ -266,7 +283,10 @@ def stream_collide_pallas(
 
     out_spec = pl.BlockSpec((Q, tx, Y, Z), body4, memory_space=V)
 
-    kernel = functools.partial(_kernel, tx, has_bc, omega_is_field)
+    kernel = functools.partial(
+        _kernel, tx, has_bc, omega_is_field,
+        float(bc_density) if bc_density is not None else None,
+    )
     flops_per_node = 350  # rough BGK+Guo cost for the scheduler
     return pl.pallas_call(
         kernel,

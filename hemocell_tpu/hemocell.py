@@ -238,6 +238,14 @@ class HemoCell:
         um_to_lu = 1e-6 / self.params.dx
         for k, ct in enumerate(self.cell_types):
             path = os.path.join(base, ct.name + ".pos")
+            if not os.path.exists(path):
+                # reference cases without checked-in packings expect the
+                # user to run packCells first; warn and continue cell-free
+                # (tools/packcells generates the missing file)
+                print(f"(HemoCell) warning: {path} not found - "
+                      f"no {ct.name} cells loaded (generate with "
+                      f"tools/packcells)")
+                continue
             centers, angles = load_pos_file(path, um_to_lu)
             cells = place_cells(ct.mesh.vertices, centers, angles)
             deny = int(round(ct.minimum_distance_from_solid_um * um_to_lu))
@@ -338,6 +346,14 @@ class HemoCell:
             # rebuild runner but keep state
             self._dirty = True
 
+    def set_outlet_density(self, density: float = 1.0):
+        """Fixed-density (pressure) outlet value applied at FLAG_PRESSURE
+        nodes in the flag matrix (reference: Zou-He addPressureBoundary +
+        setBoundaryDensity, e.g. cases/preinlet_shear/preinlet_shear.cpp:113,
+        cases/injured_vessel outlets)."""
+        self.bc_density = float(density)
+        self._dirty = True
+
     def set_system_periodicity(self, axis_or_tuple, value=None):
         """API parity (hemocell.h setSystemPeriodicity); the dense lattice is
         always periodic, walls come from the flag matrix."""
@@ -381,6 +397,7 @@ class HemoCell:
             omega=self.omega,
             types=types,
             bc_velocity=self.bc_velocity,
+            bc_density=getattr(self, "bc_density", None),
             body_force=self.body_force,
             particle_every=self.particle_every,
             resort_every=getattr(self, "resort_every", 1),

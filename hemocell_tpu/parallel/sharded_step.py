@@ -60,6 +60,9 @@ def shardmap_supported(cfg: StepConfig) -> bool:
         return False
     if cfg.body_force is not None and jnp.asarray(cfg.body_force).ndim != 1:
         return False
+    if cfg.bc_density is not None:
+        # pressure outlets ride the generic GSPMD runner for now
+        return False
     return True
 
 
