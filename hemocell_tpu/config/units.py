@@ -71,9 +71,21 @@ class Parameters:
 
     # -- flow setups (reference: constantConversion.cpp:61-101) -------------
 
+    @staticmethod
+    def _read_re(cfg) -> float:
+        """Reynolds number: <domain><Re> for lbm_pipe_parameters cases;
+        preinlet-driven cases (e.g. cases/AR2, lbm_base_parameters) keep it
+        under <preInlet><parameters><Re> instead."""
+        if "Re" in cfg["domain"]:
+            return cfg["domain"]["Re"].read(float)
+        if "preInlet" in cfg and "parameters" in cfg["preInlet"] \
+                and "Re" in cfg["preInlet"]["parameters"]:
+            return cfg["preInlet"]["parameters"]["Re"].read(float)
+        raise KeyError("no <Re> under <domain> or <preInlet><parameters>")
+
     def pipe_flow(self, cfg, fluid_area_lu: float) -> "Parameters":
         """Pipe radius from the fluid cross-section voxel count."""
-        self.re = cfg["domain"]["Re"].read(float)
+        self.re = self._read_re(cfg)
         self.pipe_radius = math.sqrt(fluid_area_lu / math.pi)
         self.u_lbm_max = self.re * self.nu_lbm / (self.pipe_radius * 2)
         return self
@@ -81,7 +93,7 @@ class Parameters:
     def pipe_flow_radius(self, cfg, radius_lu: float) -> "Parameters":
         """Pipe parameters with a predefined radius in lattice units
         (reference: mechanics/constantConversion.cpp:75-82)."""
-        self.re = cfg["domain"]["Re"].read(float)
+        self.re = self._read_re(cfg)
         self.pipe_radius = float(radius_lu)
         self.u_lbm_max = self.re * self.nu_lbm / (self.pipe_radius * 2)
         return self
