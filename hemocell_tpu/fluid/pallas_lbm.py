@@ -143,37 +143,57 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, *refs):
     elif omega_is_field:
         (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
          flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi, out) = refs
+        bc_lo = bc_body = bc_hi = None
     else:
         (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
          flags_lo, flags_body, flags_hi, omega_ref, out) = refs
+        bc_lo = bc_body = bc_hi = None
+    if not has_bc:
+        bc_lo = bc_body = bc_hi = None
 
-    f_ext = jnp.concatenate([f_lo[:], f_body[:], f_hi[:]], axis=1)
-    force_ext = jnp.concatenate([force_lo[:], force_body[:], force_hi[:]], axis=1)
-    flags_ext = jnp.concatenate(
-        [flags_lo[:], flags_body[:], flags_hi[:]], axis=0
-    )
+    # collide each region in place — no extended-slab concatenate (that
+    # copy of the whole 19-population slab through VMEM cost ~25% of the
+    # kernel); the halo rows are collided separately and the X-shift pull
+    # becomes two sliced stores at the seam.
+    def region(f_r, force_r, flags_r, om_r, bc_r):
+        return _collide_local(
+            f_r[:], force_r[:],
+            om_r, flags_r[:],
+            bc_r[:] if bc_r is not None else None,
+            bc_density,
+        )
+
     if omega_is_field:
-        omega = jnp.concatenate([om_lo[:], om_body[:], om_hi[:]], axis=0)
+        om_b, om_l, om_h = om_body[:], om_lo[:], om_hi[:]
     else:
-        omega = omega_ref[0]
-    bc_ext = None
-    if has_bc:
-        bc_ext = jnp.concatenate([bc_lo[:], bc_body[:], bc_hi[:]], axis=1)
+        om_b = om_l = om_h = omega_ref[0]
+    post_b = region(f_body, force_body, flags_body, om_b, bc_body)
+    post_l = region(f_lo, force_lo, flags_lo, om_l, bc_lo)
+    post_h = region(f_hi, force_hi, flags_hi, om_h, bc_hi)
 
-    post = _collide_local(f_ext, force_ext, omega, flags_ext, bc_ext,
-                          bc_density)
-
-    # pull: out[q, x] = post[q][x - cx] with x in [1, tx] of the extended
-    # slab; Y/Z are full so periodic shift = roll.
+    # pull: out[q, x] = post[q][x - cx]; Y/Z are full so periodic shift =
+    # roll, applied per stored piece.
     for q in range(19):
         cx, cy, cz = int(_C[q, 0]), int(_C[q, 1]), int(_C[q, 2])
-        src = post[q][1 - cx : 1 - cx + tx]
-        ny, nz = src.shape[1], src.shape[2]
-        if cy:
-            src = pltpu.roll(src, shift=cy % ny, axis=1)
-        if cz:
-            src = pltpu.roll(src, shift=cz % nz, axis=2)
-        out[q] = src
+
+        def rollyz(src):
+            ny, nz = src.shape[1], src.shape[2]
+            if cy:
+                src = pltpu.roll(src, shift=cy % ny, axis=1)
+            if cz:
+                src = pltpu.roll(src, shift=cz % nz, axis=2)
+            return src
+
+        if cx == 0:
+            out[q] = rollyz(post_b[q])
+        elif cx == 1:
+            out[q, 0:1] = rollyz(post_l[q])
+            if tx > 1:
+                out[q, 1:tx] = rollyz(post_b[q][0 : tx - 1])
+        else:
+            if tx > 1:
+                out[q, 0 : tx - 1] = rollyz(post_b[q][1:tx])
+            out[q, tx - 1 : tx] = rollyz(post_h[q])
 
 
 def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):

@@ -40,6 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 128
 
 
+def _accumulate_windows(blocks, window_al, P, C):
+    """Sum per-program window blocks into the sorted-order value array.
+
+    blocks: [NQ, 4, C] — program q's values for sorted columns
+    [window_al[q], window_al[q] + C); columns not claimed by q (the
+    vertex's current slab is not q's) are exact zeros (the ``mine`` mask
+    in _window_weights), so summing overlapping windows reconstructs every
+    vertex's single claimed value.  This replaces a [P]-element arbitrary
+    gather from blocks — XLA lowers that gather ~50x slower than these
+    NQ dynamic-slice adds (1.5 ms vs 30 us for 70k vertices at 64^3).
+
+    Returns acc [4, P + C] in sorted order (tail C columns are padding).
+    """
+    NQ = blocks.shape[0]
+    acc = jnp.zeros((4, P + C), blocks.dtype)
+
+    def body(q, acc):
+        al = window_al[q].astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        cur = jax.lax.dynamic_slice(acc, (zero, al), (4, C))
+        return jax.lax.dynamic_update_slice(acc, cur + blocks[q], (zero, al))
+
+    return jax.lax.fori_loop(0, NQ, body, acc)
+
+
 def pallas_ibm_fits(shape) -> bool:
     """True while the spread outputs (2 x [X,3,Y,Z] f32) fit the
     toolchain's DEFAULT scoped-VMEM stack-allocation budget.  Above this,
@@ -383,9 +408,11 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
                    u_hi, out_ref, pos_v, sem):
     g = pl.program_id(0) - (1 if E else 0)
     # dynamic trip count: only chunks holding this slab's vertices are
-    # computed (the un-sort reads only columns inside the window's occupied
-    # span, so the untouched tail of the output block is never observed)
+    # computed.  The whole block is zeroed first: the window-sum un-sort
+    # (_accumulate_windows) adds every column of every block, so the
+    # untouched tail past the occupied span must be exact zeros.
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
+    out_ref[0] = jnp.zeros((4, C), out_ref.dtype)
 
     cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp.start()
@@ -461,17 +488,14 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
         out_shape=jax.ShapeDtypeStruct((X, 4, C), dtype),
     interpret=interpret,
     )(starts, pos_cm, u_x, u_x)
-    # un-sort: sorted vertex i sits at column (i - align_down(start_{g(i)}))
-    # of block g(i) — always computed correctly in its own slab's window
-    g_of = ix_s  # [P]
-    al = (starts[:-1] // _ALIGN) * _ALIGN
-    col = jnp.arange(P, dtype=jnp.int32) - al[g_of]
-    flat = (g_of * 4) * C + col  # index into blocks.reshape(X*4*C) row 0
-    blocks_flat = blocks.reshape(-1)
-    cols_sorted = [blocks_flat[flat + c * C] for c in range(NCH)]
-    # one multi-payload sort keyed on the permutation replaces the inverse
-    # scatter + row gather (a permutation sorted by itself yields the
-    # original order; TPU sorts beat TPU scatters)
+    # un-sort step 1: window-sum the per-program blocks into sorted order
+    # (claimed columns carry the value, others exact zeros)
+    window_al = (starts[:-1] // _ALIGN) * _ALIGN  # [X]
+    acc = _accumulate_windows(blocks, window_al, P, C)
+    cols_sorted = [acc[c, :P] for c in range(NCH)]
+    # step 2: one multi-payload sort keyed on the permutation replaces the
+    # inverse scatter + row gather (a permutation sorted by itself yields
+    # the original order; TPU sorts beat TPU scatters)
     unsorted = jax.lax.sort(
         tuple([order] + cols_sorted), num_keys=1, is_stable=True
     )
@@ -599,20 +623,15 @@ def pallas_interp_shadow(plan, u, shape, capacity, interpret=None):
         out_shape=jax.ShapeDtypeStruct((X + 2, 4, C), dtype),
         interpret=interpret,
     )(plan.starts, plan.pos_cm, u_x, u_x)
-    # each sorted column i was computed by the program claiming its CURRENT
-    # slab: q = floor(x_i) + 1, at window column i - align(window start)
-    px = plan.pos_cm[0, :P]
-    s_of = jnp.clip(jnp.floor(px).astype(jnp.int32), -1, X)
-    q_of = s_of + 1
-    lo_idx = jnp.clip(s_of * SUBDIV - EXTRA, 0, X * SUBDIV)
-    al = (plan.starts[lo_idx] // _ALIGN) * _ALIGN
-    col = jnp.arange(P, dtype=jnp.int32) - al
-    flat = (q_of * 4) * C + col
-    blocks_flat = blocks.reshape(-1)
-    cols_sorted = [blocks_flat[flat + c * C] for c in range(NCH)]
-    vals_cm = jnp.zeros((4, P + C), dtype)
-    for c in range(NCH):
-        vals_cm = vals_cm.at[c, :P].set(cols_sorted[c])
+    # un-sort: window-sum the per-program blocks into the sorted layout —
+    # each column is claimed (nonzero) only in the program covering the
+    # vertex's CURRENT slab, so the overlapping-window sum reconstructs it
+    g_all = jnp.arange(X + 2, dtype=jnp.int32) - 1
+    lo_idx = jnp.clip(g_all * SUBDIV - EXTRA, 0, X * SUBDIV)
+    window_al = (plan.starts[lo_idx] // _ALIGN) * _ALIGN  # [X+2]
+    acc = _accumulate_windows(blocks, window_al, P, C)
+    vals_cm = acc  # [4, P+C] sorted layout, tail + rows >= NCH zero
+    cols_sorted = [acc[c, :P] for c in range(NCH)]
     unsorted = jax.lax.sort(
         tuple([plan.order] + cols_sorted), num_keys=1, is_stable=True
     )
