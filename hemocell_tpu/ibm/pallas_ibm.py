@@ -243,17 +243,17 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, starts_ref, pos_hbm, F_hbm, out_lo,
         Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
         F = F_v[:, sl]
         for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
-            planes = []
-            for c in range(3):
-                M = Sy * (F[c : c + 1, :] * wx)  # [Y, CH]
-                planes.append(
-                    jax.lax.dot_general(
-                        M, Sz,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=M.dtype,
-                    )
-                )
-            out_ref[0] += jnp.stack(planes, axis=0)
+            # one [3Y, CH] @ [CH, Z] matmul for all three channels — same
+            # flops as three [Y, CH] dots but a single MXU invocation
+            M3 = jnp.concatenate(
+                [Sy * (F[c : c + 1, :] * wx) for c in range(3)], axis=0
+            )
+            planes = jax.lax.dot_general(
+                M3, Sz,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=M3.dtype,
+            )  # [3Y, Z]
+            out_ref[0] += planes.reshape(3, Y, Z)
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
@@ -421,21 +421,21 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
         Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
-        rows = []
-        for c in range(NCH):
-            acc = None
-            for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
-                t = jax.lax.dot_general(
-                    u_ref[0, c], Sz,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=Sz.dtype,
-                )  # [Y, CH]
-                v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
-                acc = v if acc is None else acc + v
-            rows.append(acc)
-        for _ in range(4 - NCH):
-            rows.append(jnp.zeros_like(rows[0]))
-        out_ref[0, :, sl] = jnp.concatenate(rows, axis=0)  # [4, CH]
+        acc = None
+        for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
+            # one [NCH*Y, Z] @ [Z, CH] matmul for all channels
+            t = jax.lax.dot_general(
+                u_ref[0].reshape(NCH * Y, Z), Sz,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=Sz.dtype,
+            ).reshape(NCH, Y, CH)
+            v = jnp.sum(Sy[None] * t, axis=1) * wx  # [NCH, CH]
+            acc = v if acc is None else acc + v
+        if NCH < 4:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((4 - NCH, CH), acc.dtype)], axis=0
+            )
+        out_ref[0, :, sl] = acc  # [4, CH]
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
