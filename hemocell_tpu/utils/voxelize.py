@@ -41,7 +41,11 @@ def voxelize_stl(
     ext_lu = extent * scale
     shape = tuple(int(np.ceil(e)) + 2 * margin + 1 for e in ext_lu)
 
-    inside = _inside_by_parity(tris, shape)
+    from ..native import voxelize_parity
+
+    inside = voxelize_parity(tris, shape)  # native C++ (helper/voxelizeDomain)
+    if inside is None:
+        inside = _inside_by_parity(tris, shape)  # numpy fallback
     flags = np.where(inside, FLAG_FLUID, FLAG_WALL).astype(np.uint8)
 
     if open_ends_axis is not None:
