@@ -131,6 +131,12 @@ class StepConfig:
     # core/hemoCellParticle.h:188-203): 1 = Euler, 2 = Adams-Bashforth
     # (pos += 1.5 v - 0.5 v_prev; needs CellTypeState.vel_prev)
     material_integration: int = 1
+    # lane-fold factor (fluid/pallas_lbm.fold_field): state.f and the fluid
+    # kernel operands live in the [19, X/fold, Y, fold*Z] layout, filling
+    # the 128-lane tile on Z<128 domains (64^3 fluid pass +70%).  Set by
+    # build_runner only (the runner folds/unfolds at its boundary); must be
+    # 1 when Lees-Edwards/CEPAC/solidify/interior-viscosity are active.
+    fold: int = 1
 
 
 class IbmShadow(NamedTuple):
@@ -478,7 +484,21 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             use_pallas = cfg.use_pallas
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
-            if use_pallas:
+            if cfg.fold > 1:
+                from .fluid.pallas_lbm import (
+                    fold_field,
+                    stream_collide_pallas,
+                )
+
+                force_field = fold_field(force_field, cfg.fold)
+                f_new = stream_collide_pallas(
+                    state.f, force_field, omega,
+                    fold_field(flags, cfg.fold),
+                    fold_field(bc_velocity, cfg.fold)
+                    if bc_velocity is not None else None,
+                    bc_density=cfg.bc_density, fold=cfg.fold,
+                )
+            elif use_pallas:
                 from .fluid.pallas_lbm import stream_collide_pallas
 
                 f_new = stream_collide_pallas(
@@ -505,10 +525,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # ---- 4: interpolate fluid velocity to vertices --------------------
         if cells and pos_flat is not None and shadow_mode and \
                 use_pallas_ibm and shadow is not None:
-            _, u = lbm.macroscopic(f_new, force_field)
             sh = new_shadow
 
             def _interp_sh(_unused):
+                _, u = lbm.macroscopic(f_new, force_field)
+                if cfg.fold > 1:
+                    from .fluid.pallas_lbm import unfold_field
+
+                    u = unfold_field(u, cfg.fold)
                 vals, vals_cm = pallas_interp_shadow(
                     sh.plan, u, shape, ibm_capacity
                 )
@@ -535,9 +559,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 )
                 offset += cnt
         elif cells and pos_flat is not None:
-            _, u = lbm.macroscopic(f_new, force_field)
 
             def _interp(_unused):
+                _, u = lbm.macroscopic(f_new, force_field)
+                if cfg.fold > 1:
+                    from .fluid.pallas_lbm import unfold_field
+
+                    u = unfold_field(u, cfg.fold)
                 if use_pallas_ibm:
                     if has_boundaries:
                         fields4 = jnp.concatenate(
@@ -758,9 +786,45 @@ def scoped_vmem_limit_kib(cfg: StepConfig) -> int:
     return min(max(16384, need_kib), 114688)
 
 
+def pick_fold(cfg: StepConfig) -> int:
+    """Lane-fold factor for the fluid state (fluid/pallas_lbm.fold_field):
+    largest k packing k x-planes into the 128-lane tile.  Only for plain
+    single-chip Pallas runs — features that touch f in canonical layout
+    (Lees-Edwards planes, CEPAC coupling, solidify Tresca, interior-omega
+    field) keep fold = 1."""
+    if jax.default_backend() != "tpu" or cfg.use_pallas is False:
+        return 1
+    if cfg.lees_edwards_velocity is not None or cfg.cepac_tau is not None:
+        return 1
+    if cfg.interior_every or cfg.solidify_every:
+        return 1
+    X, Y, Z = (int(v) for v in cfg.shape)
+    for k in (8, 4, 2):
+        if X % k == 0 and k * Z <= 128:
+            return k
+    return 1
+
+
 def build_runner(cfg: StepConfig):
     """jitted (state, n) -> state advancing n iterations."""
+    import dataclasses
+
+    K_fold = pick_fold(cfg)
+    if K_fold > 1:
+        cfg = dataclasses.replace(cfg, fold=K_fold)
     step = build_step(cfg)
+
+    from .fluid.pallas_lbm import fold_field, unfold_field
+
+    def _enter(state: SimState) -> SimState:
+        if K_fold > 1:
+            return state._replace(f=fold_field(state.f, K_fold))
+        return state
+
+    def _exit(state: SimState) -> SimState:
+        if K_fold > 1:
+            return state._replace(f=unfold_field(state.f, K_fold))
+        return state
 
     # Only cap the scoped budget when the spread outputs are too big to
     # stack-allocate under the toolchain's default budget; small domains
@@ -779,7 +843,9 @@ def build_runner(cfg: StepConfig):
 
         @partial(jax.jit, static_argnums=(1,), compiler_options=opts)
         def run(state: SimState, n: int) -> SimState:
-            return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+            return _exit(
+                jax.lax.fori_loop(0, n, lambda _, s: step(s), _enter(state))
+            )
 
         return run
 
@@ -797,9 +863,9 @@ def build_runner(cfg: StepConfig):
             cs.pos.shape[0] * cs.pos.shape[1] for cs in state.cells
         )
         if P0 == 0:
-            return jax.lax.fori_loop(
-                0, n, lambda _, s: step(s, None, None)[0], state
-            )
+            return _exit(jax.lax.fori_loop(
+                0, n, lambda _, s: step(s, None, None)[0], _enter(state)
+            ))
         P_pad = -(-P0 // 512) * 512
         C = slab_capacity(P_pad, X)
         from .ibm.pallas_ibm import SUBDIV as _SD
@@ -823,8 +889,8 @@ def build_runner(cfg: StepConfig):
             st2, sh2 = step(st, sh, jnp.mod(i, K) == 0)
             return (st2, sh2)
 
-        out, _ = jax.lax.fori_loop(0, n, body, (state, shadow0))
-        return out
+        out, _ = jax.lax.fori_loop(0, n, body, (_enter(state), shadow0))
+        return _exit(out)
 
     return run
 

@@ -131,7 +131,65 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     return outs
 
 
-def _kernel(tx, has_bc, omega_is_field, bc_density, *refs):
+def fold_field(arr, k):
+    """[..., X, Y, Z] -> [..., X/k, Y, k*Z]: pack k consecutive x-planes
+    into the lane dimension (lane = h*Z + z for x = xh*k + h).  Fills the
+    128-lane vector tile on domains with Z < 128 (64^3: 2x fewer padded
+    lanes), at the price of carry handling in the streaming shifts."""
+    if k == 1:
+        return arr
+    *lead, X, Y, Z = arr.shape
+    a = arr.reshape(*lead, X // k, k, Y, Z)
+    a = jnp.moveaxis(a, -3, -2)
+    return a.reshape(*lead, X // k, Y, k * Z)
+
+
+def unfold_field(arr, k):
+    """Inverse of fold_field."""
+    if k == 1:
+        return arr
+    *lead, Xh, Y, KZ = arr.shape
+    a = arr.reshape(*lead, Xh, Y, k, KZ // k)
+    a = jnp.moveaxis(a, -2, -3)
+    return a.reshape(*lead, Xh * k, Y, KZ // k)
+
+
+def _folded_pull(same, prev, cx, cz, Z, k):
+    """Lane-space pull shift for folded layout.
+
+    same: [rows, Y, k*Z] post-collision values of the out rows themselves;
+    prev: same-shaped values of the x-neighbour rows (xh - cx), used only by
+    carry lanes (h = 0 for cx = +1, h = k-1 for cx = -1).  The flat roll by
+    cx*Z + cz already lands carry lanes on the right (k-1 or 0) half via the
+    mod-kZ wrap — they just need the neighbour ROW's data; z-boundary lanes
+    additionally need the roll re-aimed by -sign(cz)*Z so the z-wrap stays
+    inside its own half."""
+    KZ = k * Z
+
+    def r(a, sh):
+        sh %= KZ
+        return pltpu.roll(a, shift=sh, axis=2) if sh else a
+
+    s = cx * Z + cz
+
+    def pulled(a):
+        if a is None:
+            return None
+        if cz:
+            lane_z = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2) % Z
+            zmask = (lane_z == 0) if cz > 0 else (lane_z == Z - 1)
+            return jnp.where(zmask, r(a, s - (Z if cz > 0 else -Z)), r(a, s))
+        return r(a, s)
+
+    same_p = pulled(same)
+    if cx == 0:
+        return same_p
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, same.shape, 2) // Z
+    hmask = (lane_h == 0) if cx > 0 else (lane_h == k - 1)
+    return jnp.where(hmask, pulled(prev), same_p)
+
+
+def _kernel(tx, has_bc, omega_is_field, bc_density, fold, *refs):
     if has_bc and omega_is_field:
         (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
          flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi,
@@ -176,6 +234,36 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, *refs):
     for q in range(19):
         cx, cy, cz = int(_C[q, 0]), int(_C[q, 1]), int(_C[q, 2])
 
+        if fold > 1:
+            Zl = post_b[q].shape[2] // fold
+
+            def cyroll(src):
+                return (
+                    pltpu.roll(src, shift=cy % src.shape[1], axis=1)
+                    if cy else src
+                )
+
+            def fpull(same, prev):
+                return cyroll(_folded_pull(same, prev, cx, cz, Zl, fold))
+
+            if cx == 0:
+                out[q] = fpull(post_b[q], None)
+            elif cx == 1:
+                out[q, 0:1] = fpull(post_b[q][0:1], post_l[q])
+                if tx > 1:
+                    out[q, 1:tx] = fpull(
+                        post_b[q][1:tx], post_b[q][0 : tx - 1]
+                    )
+            else:
+                if tx > 1:
+                    out[q, 0 : tx - 1] = fpull(
+                        post_b[q][0 : tx - 1], post_b[q][1:tx]
+                    )
+                out[q, tx - 1 : tx] = fpull(
+                    post_b[q][tx - 1 : tx], post_h[q]
+                )
+            continue
+
         def rollyz(src):
             ny, nz = src.shape[1], src.shape[2]
             if cy:
@@ -216,13 +304,18 @@ def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tx", "interpret", "bc_density")
+    jax.jit, static_argnames=("tx", "interpret", "bc_density", "fold")
 )
 def stream_collide_pallas(
     f, force, omega, flags, bc_velocity=None, tx=None, interpret=None,
-    bc_density=None,
+    bc_density=None, fold=1,
 ):
-    """Drop-in fused replacement for lbm.stream_collide (single shard)."""
+    """Drop-in fused replacement for lbm.stream_collide (single shard).
+
+    With ``fold`` > 1 every field operand is in the fold_field layout
+    [.., X/fold, Y, fold*Z] and the result is returned folded too — the
+    caller keeps the state folded across steps (fold/unfold costs a full
+    relayout pass, ~0.5 ms at 64^3)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     Q, X, Y, Z = f.shape
@@ -233,6 +326,7 @@ def stream_collide_pallas(
         # unfused jnp path (XLA tiles it through HBM) rather than OOM
         from . import lbm
 
+        assert fold == 1, "folded layout requires the Pallas kernel"
         return lbm.stream_collide(f, force, omega, flags, bc_velocity,
                                   bc_density)
     n = X // tx
@@ -306,6 +400,7 @@ def stream_collide_pallas(
     kernel = functools.partial(
         _kernel, tx, has_bc, omega_is_field,
         float(bc_density) if bc_density is not None else None,
+        int(fold),
     )
     flops_per_node = 350  # rough BGK+Guo cost for the scheduler
     return pl.pallas_call(
