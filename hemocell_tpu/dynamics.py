@@ -131,6 +131,11 @@ class StepConfig:
     # core/hemoCellParticle.h:188-203): 1 = Euler, 2 = Adams-Bashforth
     # (pos += 1.5 v - 0.5 v_prev; needs CellTypeState.vel_prev)
     material_integration: int = 1
+    # IBM matmul precision: 'f32' (default) or 'bf16' — bf16 runs the
+    # one-hot spread/interp contractions at the MXU's bf16 rate with f32
+    # accumulation (~0.3% relative weight error; stretch/pipeflow oracles
+    # hold — see tests and docs/PERFORMANCE.md)
+    ibm_mm: str = "f32"
     # lane-fold factor (fluid/pallas_lbm.fold_field): state.f and the fluid
     # kernel operands live in the [19, X/fold, Y, fold*Z] layout, filling
     # the 128-lane tile on Z<128 domains (64^3 fluid pass +70%).  Set by
@@ -410,7 +415,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
                 new_shadow = jax.lax.cond(resync, _resync, _carry, None)
                 field = pallas_spread_shadow(
-                    new_shadow.plan, shape, ibm_capacity
+                    new_shadow.plan, shape, ibm_capacity, mm=cfg.ibm_mm
                 )
                 force_field = force_field + field
             elif use_pallas_ibm:
@@ -421,7 +426,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 field, _ = _spread_fn(
                     pos_w, fdep, shape, capacity=ibm_capacity,
                     mask=fluid_mask3 if has_boundaries else None,
-                    plan=ibm_plan,
+                    plan=ibm_plan, mm=cfg.ibm_mm,
                 )
                 if has_boundaries:
                     field = field * fluid_mask3[None]
@@ -534,7 +539,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
                     u = unfold_field(u, cfg.fold)
                 vals, vals_cm = pallas_interp_shadow(
-                    sh.plan, u, shape, ibm_capacity
+                    sh.plan, u, shape, ibm_capacity, mm=cfg.ibm_mm
                 )
                 return (
                     vals * act_pad[:, None],
@@ -573,13 +578,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         )
                         v4, _ = _interp_fn(
                             pos_w, fields4, shape, capacity=ibm_capacity,
-                            plan=ibm_plan,
+                            plan=ibm_plan, mm=cfg.ibm_mm,
                         )
                         v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
                     else:
                         v, _ = _interp_fn(pos_w, u, shape,
                                           capacity=ibm_capacity,
-                                          plan=ibm_plan)
+                                          plan=ibm_plan, mm=cfg.ibm_mm)
                     return v * act_pad[:, None]
                 return coupling.interpolate(u, idx, w)
 

@@ -346,6 +346,14 @@ class HemoCell:
             # rebuild runner but keep state
             self._dirty = True
 
+    def set_ibm_precision(self, mm: str = "f32"):
+        """IBM spread/interp matmul precision: 'f32' (exact parity with the
+        jnp path) or 'bf16' (MXU bf16 rate, f32 accumulation, ~0.3%
+        trilinear-weight error; validation oracles hold)."""
+        assert mm in ("f32", "bf16"), mm
+        self.ibm_mm = mm
+        self._dirty = True
+
     def set_outlet_density(self, density: float = 1.0):
         """Fixed-density (pressure) outlet value applied at FLAG_PRESSURE
         nodes in the flag matrix (reference: Zou-He addPressureBoundary +
@@ -398,6 +406,7 @@ class HemoCell:
             types=types,
             bc_velocity=self.bc_velocity,
             bc_density=getattr(self, "bc_density", None),
+            ibm_mm=getattr(self, "ibm_mm", "f32"),
             body_force=self.body_force,
             particle_every=self.particle_every,
             resort_every=getattr(self, "resort_every", 1),

@@ -133,6 +133,13 @@ def _window_weights(pos4c, g, X, C, Y, Z):
     return Sy, Sz, wx0, wx1
 
 
+def _mm_cast(arr, mm):
+    """Cast a matmul operand for the MXU: 'bf16' trades ~3 decimal digits
+    of trilinear-weight precision for the 4-8x bf16 MXU rate (accumulation
+    stays f32 via preferred_element_type)."""
+    return arr.astype(jnp.bfloat16) if mm == "bf16" else arr
+
+
 def _aligned_window(starts_ref, g):
     start = starts_ref[g]
     al = (start // _ALIGN) * _ALIGN
@@ -219,8 +226,8 @@ def _window_bounds(starts_ref, s, X, M, E, C, CH):
     return al, nch
 
 
-def _spread_kernel(C, CH, X, Y, Z, M, E, starts_ref, pos_hbm, F_hbm, out_lo,
-                   out_hi, pos_v, F_v, sem):
+def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
+                   out_lo, out_hi, pos_v, F_v, sem):
     g = pl.program_id(0) - (1 if E else 0)  # slab claimed (shadow: -1..X)
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
@@ -249,9 +256,9 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, starts_ref, pos_hbm, F_hbm, out_lo,
                 [Sy * (F[c : c + 1, :] * wx) for c in range(3)], axis=0
             )
             planes = jax.lax.dot_general(
-                M3, Sz,
+                _mm_cast(M3, mm), _mm_cast(Sz, mm),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=M3.dtype,
+                preferred_element_type=F_v.dtype,
             )  # [3Y, Z]
             out_ref[0] += planes.reshape(3, Y, Z)
         return carry
@@ -268,8 +275,8 @@ def _pick_chunk(C, Y, Z, budget=4 * 2**20):
     return max(ch, 512)
 
 
-def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
-                          m_hi, out_lo, out_hi, pos_v, F_v, sem):
+def _spread_renorm_kernel(C, CH, X, Y, Z, mm, starts_ref, pos_hbm, F_hbm,
+                          m_lo, m_hi, out_lo, out_hi, pos_v, F_v, sem):
     """Spread with fused boundary-aware renormalisation: the per-vertex
     fluid-weight total (the separate mask-interpolation pass of the jnp
     path, reference core/immersedBoundaryMethod.h:62-138) is computed from
@@ -294,34 +301,33 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, starts_ref, pos_hbm, F_hbm, m_lo,
         s = None
         for m_ref, wx in ((m_lo, wx0), (m_hi, wx1)):
             t = jax.lax.dot_general(
-                m_ref[0, 0], Sz,
+                _mm_cast(m_ref[0, 0], mm), _mm_cast(Sz, mm),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=Sz.dtype,
+                preferred_element_type=F_v.dtype,
             )  # [Y, CH]
             v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
             s = v if s is None else s + v
         scale = 1.0 / jnp.maximum(s, 1e-30)  # masked columns: wx=0 anyway
         F = F_v[:, sl] * scale
         for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
-            planes = []
-            for c in range(3):
-                M = Sy * (F[c : c + 1, :] * wx)
-                planes.append(
-                    jax.lax.dot_general(
-                        M, Sz,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=M.dtype,
-                    )
-                )
-            out_ref[0] += jnp.stack(planes, axis=0)
+            M3 = jnp.concatenate(
+                [Sy * (F[c : c + 1, :] * wx) for c in range(3)], axis=0
+            )
+            planes = jax.lax.dot_general(
+                _mm_cast(M3, mm), _mm_cast(Sz, mm),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=F_v.dtype,
+            )
+            out_ref[0] += planes.reshape(3, Y, Z)
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
+                                             "mm"))
 def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
-                  mask=None, plan=None):
+                  mask=None, plan=None, mm="f32"):
     """[P,3] forces -> [3,X,Y,Z] field (pure trilinear, periodic).
 
     With ``mask`` (a [X,Y,Z] fluid mask), each vertex's deposit is divided
@@ -381,11 +387,11 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
     )
     if mask is not None:
         kernel = functools.partial(
-            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z
+            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, mm
         )
     else:
         kernel = functools.partial(
-            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 1, 0
+            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 1, 0, mm
         )
     lo, hi = pl.pallas_call(
         kernel,
@@ -404,8 +410,8 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
 # interpolation
 
 
-def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
-                   u_hi, out_ref, pos_v, sem):
+def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, mm, starts_ref, pos_hbm,
+                   u_lo, u_hi, out_ref, pos_v, sem):
     g = pl.program_id(0) - (1 if E else 0)
     # dynamic trip count: only chunks holding this slab's vertices are
     # computed.  The whole block is zeroed first: the window-sum un-sort
@@ -425,9 +431,10 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
         for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
             # one [NCH*Y, Z] @ [Z, CH] matmul for all channels
             t = jax.lax.dot_general(
-                u_ref[0].reshape(NCH * Y, Z), Sz,
+                _mm_cast(u_ref[0].reshape(NCH * Y, Z), mm),
+                _mm_cast(Sz, mm),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=Sz.dtype,
+                preferred_element_type=pos_v.dtype,
             ).reshape(NCH, Y, CH)
             v = jnp.sum(Sy[None] * t, axis=1) * wx  # [NCH, CH]
             acc = v if acc is None else acc + v
@@ -441,8 +448,10 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, starts_ref, pos_hbm, u_lo,
     jax.lax.fori_loop(0, nch, _chunk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
-def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
+                                             "mm"))
+def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None,
+                  mm="f32"):
     """Interpolate u [NCH<=4, X, Y, Z] to vertices [P, NCH] (pure
     trilinear).  Extra channels (e.g. a fluid mask for boundary-aware
     renormalisation) ride along for free.  Pass ``plan`` to share the
@@ -480,7 +489,7 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None):
         ],
     )
     kernel = functools.partial(
-        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, 1, 0
+        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, 1, 0, mm
     )
     blocks = pl.pallas_call(
         kernel,
@@ -526,8 +535,9 @@ def shadow_supported_drift(resort_every: int, u_max: float = 0.05) -> bool:
     return resort_every * u_max < (EXTRA - 1) / SUBDIV
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret"))
-def pallas_spread_shadow(plan, shape, capacity, interpret=None):
+@functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
+                                             "mm"))
+def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
     """Spread from a shadow plan (pos_cm holds CURRENT, possibly drifted,
     unwrapped positions; payload_cm the current sorted forces).
 
@@ -558,7 +568,7 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None):
         ],
     )
     kernel = functools.partial(
-        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA
+        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA, mm
     )
     lo, hi = pl.pallas_call(
         kernel,
@@ -579,9 +589,9 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "capacity", "interpret")
+    jax.jit, static_argnames=("shape", "capacity", "interpret", "mm")
 )
-def pallas_interp_shadow(plan, u, shape, capacity, interpret=None):
+def pallas_interp_shadow(plan, u, shape, capacity, interpret=None, mm="f32"):
     """Interpolate u [NCH<=4,X,Y,Z] onto the shadow plan's (drifted)
     vertices.  Returns (vals [P,NCH] in canonical order,
     vals_cm [4,P+C] in sorted layout — the latter feeds pos_cm updates)."""
@@ -615,7 +625,8 @@ def pallas_interp_shadow(plan, u, shape, capacity, interpret=None):
         ],
     )
     kernel = functools.partial(
-        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, SUBDIV, EXTRA
+        _interp_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCH, SUBDIV, EXTRA,
+        mm
     )
     blocks = pl.pallas_call(
         kernel,

@@ -84,6 +84,7 @@ def rbc_suspension(
     seed: int = 0,
     spread_mode=None,
     resort_every: int = 1,
+    ibm_mm: str = "f32",
 ):
     """Periodic box of RBCs, optionally sheared by two moving walls (z faces)
     or driven by a body force.  Returns (cfg, state, meta)."""
@@ -133,6 +134,7 @@ def rbc_suspension(
         dtype=dtype,
         spread_mode=spread_mode,
         resort_every=resort_every,
+        ibm_mm=ibm_mm,
     )
     state = initial_sim_state(cfg, [make_cell_state(cells, dtype=dtype)])
     meta = {

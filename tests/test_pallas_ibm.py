@@ -72,3 +72,28 @@ def test_step_modes_agree():
             np.asarray(out.cells[0].pos), np.asarray(ref.cells[0].pos),
             atol=1e-6, err_msg=mode,
         )
+
+
+def test_bf16_matmul_option_close_to_f32():
+    import jax
+
+    key = jax.random.PRNGKey(5)
+    shape = (8, 8, 16)
+    P = 512
+    pos = (
+        jax.random.uniform(key, (P, 3), jnp.float32)
+        * jnp.asarray([8.0, 8.0, 16.0], jnp.float32)
+    ).astype(jnp.float32)
+    F = jax.random.normal(key, (P, 3), jnp.float32)
+    from hemocell_tpu.ibm.pallas_ibm import pallas_interp, pallas_spread
+
+    a, _ = pallas_spread(pos, F, shape, capacity=512, interpret=True)
+    b, _ = pallas_spread(pos, F, shape, capacity=512, interpret=True,
+                         mm="bf16")
+    ref = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 0.02 * ref
+    u = jax.random.normal(key, (3,) + shape, jnp.float32)
+    va, _ = pallas_interp(pos, u, shape, capacity=512, interpret=True)
+    vb, _ = pallas_interp(pos, u, shape, capacity=512, interpret=True,
+                          mm="bf16")
+    assert float(jnp.abs(va - vb).max()) < 0.02 * float(jnp.abs(va).max())
