@@ -123,14 +123,20 @@ def _window_weights(pos4c, g, X, C, Y, Z):
     fz = pz - jnp.floor(pz)
 
     ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
-    ids_z = jax.lax.broadcasted_iota(jnp.int32, (Z, C), 0)
     Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
         ids_y == jnp.mod(iy + 1, Y)
     ) * fy
-    Sz = (ids_z == jnp.mod(iz, Z)) * (1.0 - fz) + (
-        ids_z == jnp.mod(iz + 1, Z)
+    # plane-packed z one-hot: lanes [0, Z) carry the wx0-weighted z stencil
+    # (deposit/gather plane g), lanes [Z, 2Z) the wx1-weighted one (plane
+    # g+1) — both x-planes ride ONE [.., CH] @ [CH, 2Z] MXU contraction at
+    # full lane width (two Z<=64 matmuls would each pad N to 128)
+    ids_2z = jax.lax.broadcasted_iota(jnp.int32, (2 * Z, C), 0)
+    ids_zm = jnp.mod(ids_2z, Z)
+    Sz2 = (ids_zm == jnp.mod(iz, Z)) * (1.0 - fz) + (
+        ids_zm == jnp.mod(iz + 1, Z)
     ) * fz
-    return Sy, Sz, wx0, wx1
+    Szf = Sz2 * jnp.where(ids_2z < Z, wx0, wx1)
+    return Sy, Szf
 
 
 def _mm_cast(arr, mm):
@@ -227,7 +233,7 @@ def _window_bounds(starts_ref, s, X, M, E, C, CH):
 
 
 def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
-                   out_lo, out_hi, pos_v, F_v, sem):
+                   out_pair, pos_v, F_v, sem):
     g = pl.program_id(0) - (1 if E else 0)  # slab claimed (shadow: -1..X)
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
@@ -241,26 +247,24 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
     # chunk the window so the one-hot matrices fit VMEM at large capacity;
     # the trip count is dynamic (from the prefetched slab offsets) so only
     # occupied chunks burn MXU flops — the static capacity is just an upper
-    # bound
-    out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
-    out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    # bound.  out_pair packs both deposit planes on the lane axis
+    # (lanes [0,Z) = plane g, [Z,2Z) = plane g+1) so one [3Y,CH]@[CH,2Z]
+    # contraction serves both at full lane width.
+    out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
         F = F_v[:, sl]
-        for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
-            # one [3Y, CH] @ [CH, Z] matmul for all three channels — same
-            # flops as three [Y, CH] dots but a single MXU invocation
-            M3 = jnp.concatenate(
-                [Sy * (F[c : c + 1, :] * wx) for c in range(3)], axis=0
-            )
-            planes = jax.lax.dot_general(
-                _mm_cast(M3, mm), _mm_cast(Sz, mm),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=F_v.dtype,
-            )  # [3Y, Z]
-            out_ref[0] += planes.reshape(3, Y, Z)
+        M3 = jnp.concatenate(
+            [Sy * F[c : c + 1, :] for c in range(3)], axis=0
+        )  # [3Y, CH]
+        planes = jax.lax.dot_general(
+            _mm_cast(M3, mm), _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=F_v.dtype,
+        )  # [3Y, 2Z]
+        out_pair[0] += planes.reshape(3, Y, 2 * Z)
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
@@ -276,7 +280,7 @@ def _pick_chunk(C, Y, Z, budget=4 * 2**20):
 
 
 def _spread_renorm_kernel(C, CH, X, Y, Z, mm, starts_ref, pos_hbm, F_hbm,
-                          m_lo, m_hi, out_lo, out_hi, pos_v, F_v, sem):
+                          m_lo, m_hi, out_pair, pos_v, F_v, sem):
     """Spread with fused boundary-aware renormalisation: the per-vertex
     fluid-weight total (the separate mask-interpolation pass of the jnp
     path, reference core/immersedBoundaryMethod.h:62-138) is computed from
@@ -291,34 +295,31 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, mm, starts_ref, pos_hbm, F_hbm,
     cp_f.start()
     cp_f.wait()
 
-    out_lo[0] = jnp.zeros((3, Y, Z), F_v.dtype)
-    out_hi[0] = jnp.zeros((3, Y, Z), F_v.dtype)
+    out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
-        # per-column fluid-weight total over both x-rows
-        s = None
-        for m_ref, wx in ((m_lo, wx0), (m_hi, wx1)):
-            t = jax.lax.dot_general(
-                _mm_cast(m_ref[0, 0], mm), _mm_cast(Sz, mm),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=F_v.dtype,
-            )  # [Y, CH]
-            v = jnp.sum(Sy * t, axis=0, keepdims=True) * wx
-            s = v if s is None else s + v
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        # per-column fluid-weight total over both x-planes: the wx weights
+        # live in Szf, so one plane-packed contraction covers both
+        m_pair = jnp.concatenate([m_lo[0, 0], m_hi[0, 0]], axis=1)  # [Y,2Z]
+        t = jax.lax.dot_general(
+            _mm_cast(m_pair, mm), _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=F_v.dtype,
+        )  # [Y, CH]
+        s = jnp.sum(Sy * t, axis=0, keepdims=True)
         scale = 1.0 / jnp.maximum(s, 1e-30)  # masked columns: wx=0 anyway
         F = F_v[:, sl] * scale
-        for out_ref, wx in ((out_lo, wx0), (out_hi, wx1)):
-            M3 = jnp.concatenate(
-                [Sy * (F[c : c + 1, :] * wx) for c in range(3)], axis=0
-            )
-            planes = jax.lax.dot_general(
-                _mm_cast(M3, mm), _mm_cast(Sz, mm),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=F_v.dtype,
-            )
-            out_ref[0] += planes.reshape(3, Y, Z)
+        M3 = jnp.concatenate(
+            [Sy * F[c : c + 1, :] for c in range(3)], axis=0
+        )
+        planes = jax.lax.dot_general(
+            _mm_cast(M3, mm), _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=F_v.dtype,
+        )
+        out_pair[0] += planes.reshape(3, Y, 2 * Z)
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
@@ -373,12 +374,8 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
         num_scalar_prefetch=1,
         grid=(X,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Y, Z), lambda g, s: ((g + 1) % X, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, 3, Y, 2 * Z), lambda g, s: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, C), pos.dtype),
             pltpu.VMEM((4, C), dtype),
@@ -393,16 +390,15 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
         kernel = functools.partial(
             _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 1, 0, mm
         )
-    lo, hi = pl.pallas_call(
+    pair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
-            jax.ShapeDtypeStruct((X, 3, Y, Z), dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((X, 3, Y, 2 * Z), dtype),
         interpret=interpret,
     )(starts, *operands)
-    field = lo + hi
+    # lane halves -> lattice rows: program g deposited plane g in lanes
+    # [0, Z) and plane (g+1) mod X in lanes [Z, 2Z)
+    field = pair[..., :Z] + jnp.roll(pair[..., Z:], 1, axis=0)
     return field.transpose(1, 0, 2, 3), overflow
 
 
@@ -424,20 +420,20 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, mm, starts_ref, pos_hbm,
     cp.start()
     cp.wait()
 
+    # plane-packed u: lanes [0,Z) = plane g, [Z,2Z) = plane g+1 — one
+    # [NCH*Y, 2Z] @ [2Z, CH] matmul serves both x-planes (wx in Szf)
+    u_pair = jnp.concatenate([u_lo[0], u_hi[0]], axis=2)  # [NCH, Y, 2Z]
+
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Sz, wx0, wx1 = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
-        acc = None
-        for u_ref, wx in ((u_lo, wx0), (u_hi, wx1)):
-            # one [NCH*Y, Z] @ [Z, CH] matmul for all channels
-            t = jax.lax.dot_general(
-                _mm_cast(u_ref[0].reshape(NCH * Y, Z), mm),
-                _mm_cast(Sz, mm),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=pos_v.dtype,
-            ).reshape(NCH, Y, CH)
-            v = jnp.sum(Sy[None] * t, axis=1) * wx  # [NCH, CH]
-            acc = v if acc is None else acc + v
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        t = jax.lax.dot_general(
+            _mm_cast(u_pair.reshape(NCH * Y, 2 * Z), mm),
+            _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=pos_v.dtype,
+        ).reshape(NCH, Y, CH)
+        acc = jnp.sum(Sy[None] * t, axis=1)  # [NCH, CH]
         if NCH < 4:
             acc = jnp.concatenate(
                 [acc, jnp.zeros((4 - NCH, CH), acc.dtype)], axis=0
@@ -555,12 +551,8 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 3, Y, Z), lambda q, s: (q, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Y, Z), lambda q, s: (q, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, 3, Y, 2 * Z), lambda q, s: (q, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, C), plan.pos_cm.dtype),
             pltpu.VMEM((4, C), dtype),
@@ -570,17 +562,15 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
     kernel = functools.partial(
         _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA, mm
     )
-    lo, hi = pl.pallas_call(
+    pair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((X + 2, 3, Y, Z), dtype),
-            jax.ShapeDtypeStruct((X + 2, 3, Y, Z), dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((X + 2, 3, Y, 2 * Z), dtype),
         interpret=interpret,
     )(plan.starts, plan.pos_cm, plan.payload_cm)
-    # fold per-program blocks onto lattice rows: program q claims slab
-    # s = q-1; lo -> row mod(s, X), hi -> row mod(s+1, X)
+    # lane halves -> per-program deposit planes, then onto lattice rows:
+    # program q claims slab s = q-1; lo -> row mod(s, X), hi -> mod(s+1, X)
+    lo, hi = pair[..., :Z], pair[..., Z:]
     field = lo[1 : X + 1] + hi[0:X]
     field = field.at[0].add(lo[X + 1] + hi[X])
     field = field.at[1].add(hi[X + 1])
