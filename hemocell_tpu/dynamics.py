@@ -169,9 +169,6 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
     # skip the per-node flag gather in the IBM stencil entirely
     has_boundaries = bool(np.asarray(cfg.flags).any()) or bool(cfg.solidify_every)
 
-    # global cell ids across types, for cross-type repulsion exclusion
-    gid_offset = np.cumsum([0] + [0 for _ in range(n_types)])
-
     shadow_mode = shadow_active(cfg)
 
     def step(state: SimState, shadow=None, resync=None):
@@ -208,6 +205,22 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             pos_flat = active = cell_gid = None
 
         # ---- 1: repulsion -------------------------------------------------
+        # Reference semantics (core/hemoCell.cpp:307-314): the recompute at
+        # repulsionTimescale zeroes + replaces force_repulsion; boundary
+        # repulsion ADDS onto it at its own timescale; the carried value is
+        # spread EVERY iteration.  So off-step fallback is the carried
+        # per-particle force, never zeros.
+        carried_rep = None
+        if pos_flat is not None and (
+            cfg.repulsion_constant > 0.0
+            or (
+                cfg.boundary_repulsion_constant > 0.0
+                and cfg.boundary_mask is not None
+            )
+        ):
+            carried_rep = jnp.concatenate(
+                [cs.force_repulsion.reshape(-1, 3) for cs in cells]
+            )
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
             rep_mode = cfg.spread_mode
             if rep_mode is None:
@@ -230,9 +243,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     cfg.repulsion_constant, cfg.repulsion_cutoff,
                 )
             frep = _every(it, cfg.repulsion_every, _rep, pos_flat,
-                          jnp.zeros_like(pos_flat))
+                          carried_rep)
         else:
-            frep = None
+            frep = carried_rep
 
         if (
             pos_flat is not None
@@ -802,6 +815,9 @@ def pick_fold(cfg: StepConfig) -> int:
     if cfg.lees_edwards_velocity is not None or cfg.cepac_tau is not None:
         return 1
     if cfg.interior_every or cfg.solidify_every:
+        return 1
+    if jnp.ndim(cfg.omega) != 0:
+        # spatially varying omega field is kept in canonical [X,Y,Z] layout
         return 1
     X, Y, Z = (int(v) for v in cfg.shape)
     for k in (8, 4, 2):

@@ -230,18 +230,24 @@ class HemoCell:
             self.enable_interior_viscosity(len(self.cell_types) - 1)
         return ct
 
-    def load_particles(self, pos_dir: Optional[str] = None):
+    def load_particles(self, pos_dir: Optional[str] = None,
+                       allow_missing: bool = False):
         """Load ``<name>.pos`` per cell type, place template meshes, drop
         cells overlapping walls (reference: HemoCell::loadParticles,
-        core/hemoCell.cpp:191-197 + io/readPositionsBloodCells.cpp)."""
+        core/hemoCell.cpp:191-197 + io/readPositionsBloodCells.cpp).
+
+        A missing ``.pos`` file raises (the reference aborts); pass
+        ``allow_missing=True`` for the run-packCells-first workflow."""
         base = pos_dir or (self.cfg.directory if self.cfg else ".")
         um_to_lu = 1e-6 / self.params.dx
         for k, ct in enumerate(self.cell_types):
             path = os.path.join(base, ct.name + ".pos")
             if not os.path.exists(path):
-                # reference cases without checked-in packings expect the
-                # user to run packCells first; warn and continue cell-free
-                # (tools/packcells generates the missing file)
+                if not allow_missing:
+                    raise FileNotFoundError(
+                        f"{path} not found - generate positions with "
+                        f"tools/packcells, or pass allow_missing=True "
+                        f"to run cell-free")
                 print(f"(HemoCell) warning: {path} not found - "
                       f"no {ct.name} cells loaded (generate with "
                       f"tools/packcells)")

@@ -272,7 +272,8 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
 
 def _pick_chunk(C, Y, Z, budget=4 * 2**20):
     """Largest 512-multiple chunk whose one-hot working set fits budget."""
-    per = (Y + Z + 2 * Y) * 4  # Sy + Sz + M temporaries per column
+    # plane-packed layout: Sy [Y,CH] + M3 [3Y,CH] + Szf [2Z,CH] + 2Z iota
+    per = (Y + 3 * Y + 2 * Z + 2 * Z) * 4
     ch = max(512, (budget // per) // 512 * 512)
     while C % ch:
         ch -= 512

@@ -23,10 +23,10 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, "checkpoint.npz")
     tmp = path + ".tmp"
-    arrays = {"f": np.asarray(state.f), "it": np.asarray(state.it),
-              # format marker: f holds deviation populations h = f - w
-              # (fluid/lbm.py); checkpoints without it predate the change
-              "f_storage_dev": np.asarray(1)}
+    # Deviation populations are stored under 'h' (NOT 'f'): a pre-change
+    # loader given this file fails loudly with KeyError instead of silently
+    # misreading deviations as raw populations (rho ~= 0).
+    arrays = {"h": np.asarray(state.f), "it": np.asarray(state.it)}
     for opt in ("cepac", "omega_field", "flags_state", "binding_mask", "bc_state", "body_force_state"):
         val = getattr(state, opt)
         if val is not None:
@@ -74,12 +74,19 @@ def load_checkpoint(directory: str, dtype=None):
                 else:
                     fields[fieldname] = jnp.asarray(arr)
             cells.append(CellTypeState(**fields))
-        f = jnp.asarray(data["f"], dtype=dtype) if dtype else jnp.asarray(data["f"])
-        if "f_storage_dev" not in data:
-            # legacy checkpoint with full populations: convert to deviations
-            from ..fluid.d3q19 import W
+        if "h" in data:
+            raw = data["h"]  # deviation populations, current format
+            f = jnp.asarray(raw, dtype=dtype) if dtype else jnp.asarray(raw)
+        else:
+            raw = data["f"]
+            f = jnp.asarray(raw, dtype=dtype) if dtype else jnp.asarray(raw)
+            if "f_storage_dev" not in data:
+                # legacy checkpoint with full populations: convert
+                from ..fluid.d3q19 import W
 
-            f = f - jnp.asarray(W, f.dtype).reshape((19,) + (1,) * (f.ndim - 1))
+                f = f - jnp.asarray(W, f.dtype).reshape(
+                    (19,) + (1,) * (f.ndim - 1)
+                )
         it = jnp.asarray(data["it"], jnp.int32)
         def opt_load(name, floaty=True):
             if name not in data:

@@ -127,7 +127,21 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             pos_flat = active = cell_gid = None
 
         # ---- 1: repulsion (replicated) ---------------------------------
-        frep = None
+        # Off-step fallback is the CARRIED force_repulsion, not zeros: the
+        # reference recomputes at the repulsion timescale but spreads the
+        # persisted value every iteration (core/hemoCell.cpp:307-314).
+        carried_rep = None
+        if pos_flat is not None and (
+            cfg.repulsion_constant > 0.0
+            or (
+                cfg.boundary_repulsion_constant > 0.0
+                and cfg.boundary_mask is not None
+            )
+        ):
+            carried_rep = jnp.concatenate(
+                [cs.force_repulsion.reshape(-1, 3) for cs in cells]
+            )
+        frep = carried_rep
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
             def _rep(p):
                 return repulsion_forces(
@@ -135,7 +149,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     cfg.repulsion_constant, cfg.repulsion_cutoff,
                 )
             frep = _every(it, cfg.repulsion_every, _rep, pos_flat,
-                          jnp.zeros_like(pos_flat))
+                          carried_rep)
         if (
             pos_flat is not None
             and cfg.boundary_repulsion_constant > 0.0
