@@ -26,7 +26,7 @@ import numpy as np
 
 from hemocell_tpu import HemoCell
 from hemocell_tpu.config.defaults import FLAG_FLUID
-from hemocell_tpu.utils.voxelize import voxelize_stl
+from hemocell_tpu.utils.voxelize import pad_flags_tpu, voxelize_stl
 
 
 def build_pipeflow(config_path: str, outdir: str | None = None) -> HemoCell:
@@ -37,6 +37,13 @@ def build_pipeflow(config_path: str, outdir: str | None = None) -> HemoCell:
     ref_dir_n = cfg["domain"]["refDirN"].read(int)
     ref_dir = cfg["domain"]["refDir"].read(int)
     flags, info = voxelize_stl(stl, ref_dir_n, ref_dir)
+    # pad the tube to TPU-friendly extents: X -> %8 via replicated
+    # cross-section planes (exact: flow axis is periodic and x-uniform),
+    # Y/Z -> lane/sublane-aligned extents via inert wall planes.  The
+    # reference decomposes arbitrary extents into blocks
+    # (core/hemoCell.cpp:438-571); dense TPU arrays want aligned extents
+    # so the lane-folded fluid kernel fills the 128-wide vector tile.
+    flags, _ = pad_flags_tpu(flags, x_mode="extend")
 
     # pipe parameters from the fluid cross-section area at x0
     fluid_area = float((flags[0] == FLAG_FLUID).sum())

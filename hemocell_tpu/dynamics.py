@@ -56,6 +56,12 @@ class SimState(NamedTuple):
     body_force_state: Any = None
     # Lees-Edwards accumulated x-displacement (scalar; helper/leesEdwardsBC.h)
     le_displacement: Any = None
+    # running max of the Pallas IBM slab-window overflow counter (int32
+    # scalar; 0 = no vertex contribution was ever dropped).  Checked by
+    # HemoCell.iterate after every runner call — in-run overflow triggers a
+    # loud warning + auto-fallback to the scatter path (silent physics
+    # corruption is never acceptable).
+    ibm_overflow: Any = None
 
 
 @dataclass
@@ -150,7 +156,8 @@ class IbmShadow(NamedTuple):
 
     plan: Any      # IbmPlanT: starts/pos_cm (CURRENT drifted)/order/F_cm
     vel_cm: jnp.ndarray  # [4, P+C] sorted velocities (advance increments)
-    act_cm: jnp.ndarray  # [4, P+C] sorted activity mask
+    act_cm: jnp.ndarray  # [P+C] sorted activity mask
+    alive: jnp.ndarray   # [NC_total] per-cell alive at last act_cm refresh
 
 
 def _every(it, k, fn, operand, fallback):
@@ -290,6 +297,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # gathers need 128-aligned batches, and the binned dense spread
         # replaces XLA's serialised scatter.
         idx = w = None
+        step_overflow = None  # slab-window overflow from this step's plan
         if pos_flat is not None:
             P0 = pos_flat.shape[0]
             P_pad = -(-P0 // 512) * 512
@@ -374,6 +382,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 # canonical forces changed, and fully resorts on ``resync``
                 fdep = ftot * act_pad[:, None]
                 P_pad_s = pos_w.shape[0]
+                alive_cur = jnp.concatenate([cs.alive for cs in cells])
 
                 def _resync(_):
                     plan = build_ibm_plan(
@@ -392,7 +401,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     act_cm = jnp.zeros(
                         P_pad_s + ibm_capacity, cfg.dtype
                     ).at[:P_pad_s].set(act_pad[plan.order])
-                    return IbmShadow(plan, vel_cm, act_cm)
+                    return IbmShadow(plan, vel_cm, act_cm, alive_cur)
 
                 def _carry(_):
                     plan = shadow.plan
@@ -413,24 +422,40 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         pred = pred | (
                             jnp.mod(it, cfg.boundary_repulsion_every) == 0
                         )
-                    F_cm = jax.lax.cond(
+                    # wall-contact deletion can change `alive` any step;
+                    # fdep and act_cm carry the act mask, so refresh when a
+                    # deletion actually happened (the [P]-sized XLA gather
+                    # by `order` costs ~as much as the saved sort, so an
+                    # every-step refresh would negate the shadow — compare
+                    # against the alive snapshot instead; deletions are
+                    # rare events)
+                    changed = jnp.any(alive_cur != shadow.alive)
+                    pred = pred | changed
+                    F_cm, act_cm = jax.lax.cond(
                         pred,
-                        lambda _: _component_major(
-                            fdep[plan.order], ibm_capacity
+                        lambda _: (
+                            _component_major(fdep[plan.order], ibm_capacity),
+                            jnp.zeros(
+                                P_pad_s + ibm_capacity, cfg.dtype
+                            ).at[:P_pad_s].set(act_pad[plan.order]),
                         ),
-                        lambda _: plan.payload_cm,
+                        lambda _: (plan.payload_cm, shadow.act_cm),
                         None,
                     )
                     return IbmShadow(
                         plan._replace(payload_cm=F_cm),
-                        shadow.vel_cm, shadow.act_cm,
+                        shadow.vel_cm, act_cm, alive_cur,
                     )
 
                 new_shadow = jax.lax.cond(resync, _resync, _carry, None)
                 field = pallas_spread_shadow(
-                    new_shadow.plan, shape, ibm_capacity, mm=cfg.ibm_mm
+                    new_shadow.plan, shape, ibm_capacity, mm=cfg.ibm_mm,
+                    mask=fluid_mask3 if has_boundaries else None,
                 )
+                if has_boundaries:
+                    field = field * fluid_mask3[None]
                 force_field = force_field + field
+                step_overflow = new_shadow.plan.overflow
             elif use_pallas_ibm:
                 fdep = ftot * act_pad[:, None]
                 ibm_plan = build_ibm_plan(
@@ -444,6 +469,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 if has_boundaries:
                     field = field * fluid_mask3[None]
                 force_field = force_field + field
+                step_overflow = ibm_plan.overflow
             elif mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
 
@@ -453,11 +479,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 fdep = ftot * (
                     act_pad / jnp.maximum(wtot, 1e-30)
                 )[:, None]
-                field, _ = binned_spread(
+                field, ov_binned = binned_spread(
                     pos_pad, fdep, shape, slab_capacity(P_pad, shape[0])
                 )
                 fluid_mask = (flags == 0).astype(cfg.dtype)
                 force_field = force_field + field * fluid_mask[None]
+                step_overflow = ov_binned
             else:
                 force_field = force_field + coupling.spread(
                     ftot, idx, w, shape, dtype=cfg.dtype
@@ -551,9 +578,23 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     from .fluid.pallas_lbm import unfold_field
 
                     u = unfold_field(u, cfg.fold)
-                vals, vals_cm = pallas_interp_shadow(
-                    sh.plan, u, shape, ibm_capacity, mm=cfg.ibm_mm
-                )
+                if has_boundaries:
+                    # boundary-aware renorm: interpolate [u*mask, mask] and
+                    # divide by the fluid-weight total, in both layouts
+                    fields4 = jnp.concatenate(
+                        [u * fluid_mask3[None], fluid_mask3[None]]
+                    )
+                    v4, v4_cm = pallas_interp_shadow(
+                        sh.plan, fields4, shape, ibm_capacity, mm=cfg.ibm_mm
+                    )
+                    vals = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
+                    vals_cm = v4_cm.at[:3].set(
+                        v4_cm[:3] / jnp.maximum(v4_cm[3:4], 1e-30)
+                    )
+                else:
+                    vals, vals_cm = pallas_interp_shadow(
+                        sh.plan, u, shape, ibm_capacity, mm=cfg.ibm_mm
+                    )
                 return (
                     vals * act_pad[:, None],
                     vals_cm * sh.act_cm[None, :],
@@ -567,7 +608,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 it, cfg.particle_every, _interp_sh, None,
                 (vel_fallback, sh.vel_cm),
             )
-            new_shadow = IbmShadow(sh.plan, vel_cm_new, sh.act_cm)
+            new_shadow = IbmShadow(sh.plan, vel_cm_new, sh.act_cm, sh.alive)
             offset = 0
             for k, cs in enumerate(cells):
                 nc, nv = cs.pos.shape[0], cs.pos.shape[1]
@@ -756,12 +797,18 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             )
             cells[k] = cs._replace(force=force)
 
+        # running-max IBM window overflow: kept only when the incoming state
+        # carries the counter (so old pytrees / checkpoints stay valid)
+        ov_new = state.ibm_overflow
+        if ov_new is not None and step_overflow is not None:
+            ov_new = jnp.maximum(ov_new, step_overflow.astype(jnp.int32))
         out_state = SimState(f=f_new, it=it + 1, cells=tuple(cells),
                              cepac=cepac_new, omega_field=omega_field_new,
                              flags_state=flags_new, binding_mask=binding_new,
                              bc_state=state.bc_state,
                              body_force_state=state.body_force_state,
-                             le_displacement=le_disp_new)
+                             le_displacement=le_disp_new,
+                             ibm_overflow=ov_new)
         if shadow_mode:
             return out_state, new_shadow
         return out_state
@@ -771,13 +818,16 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
 
 def shadow_active(cfg: StepConfig) -> bool:
     """True when the amortised-resort IBM shadow runs for this config:
-    wall-free, non-LE, pallas spread, resort_every > 1."""
+    non-LE, pallas spread, resort_every > 1.  Walled domains are supported
+    (the shadow spread renormalises in-kernel against the static fluid
+    mask); solidify is not (it mutates the flags and deletes cells at its
+    own cadence)."""
     if cfg.resort_every <= 1 or cfg.lees_edwards_velocity is not None:
         return False
     if cfg.material_integration != 1:
         # the shadow advance mirrors plain Euler (pos_cm += vel_cm)
         return False
-    if bool(np.asarray(cfg.flags).any()) or bool(cfg.solidify_every):
+    if bool(cfg.solidify_every):
         return False
     mode = cfg.spread_mode
     if mode is None:
@@ -903,6 +953,9 @@ def build_runner(cfg: StepConfig):
             plan=plan0,
             vel_cm=jnp.zeros((4, P_pad + C), cfg.dtype),
             act_cm=jnp.zeros(P_pad + C, cfg.dtype),
+            alive=jnp.zeros(
+                sum(cs.alive.shape[0] for cs in state.cells), bool
+            ),
         )
 
         def body(i, carry):
@@ -941,4 +994,5 @@ def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
     return SimState(f=f, it=jnp.asarray(0, jnp.int32), cells=tuple(cell_states),
                     cepac=cepac, omega_field=omega_field,
                     flags_state=flags_state, binding_mask=binding,
-                    le_displacement=le_disp)
+                    le_displacement=le_disp,
+                    ibm_overflow=jnp.asarray(0, jnp.int32))

@@ -329,12 +329,15 @@ class HemoCell:
         self._dirty = True
 
     def enable_cepac(self, diffusivity_lbm: float = 1.0 / 6.0,
-                     dirichlet_mask=None, dirichlet_value=None):
+                     dirichlet_mask=None, dirichlet_value=None,
+                     init: float = 0.0):
         """CEPAC scalar advection-diffusion field (reference:
-        global.enableCEPACfield + createCEPACfield)."""
+        global.enableCEPACfield + createCEPACfield); ``init`` is the
+        initial uniform concentration."""
         from .fluid.advection_diffusion import tau_from_diffusivity
 
         self.cepac_tau = tau_from_diffusivity(diffusivity_lbm)
+        self._cepac0 = float(init)
         self._cepac_mask = (
             jnp.asarray(dirichlet_mask) if dirichlet_mask is not None else None
         )
@@ -413,9 +416,10 @@ class HemoCell:
             bc_velocity=self.bc_velocity,
             bc_density=getattr(self, "bc_density", None),
             ibm_mm=getattr(self, "ibm_mm", "f32"),
+            spread_mode=getattr(self, "spread_mode", None),
             body_force=self.body_force,
             particle_every=self.particle_every,
-            resort_every=getattr(self, "resort_every", 1),
+            resort_every=self._auto_resort_every(),
             f_limit=self.params.f_limit,
             repulsion_constant=self.repulsion_constant,
             repulsion_cutoff=self.repulsion_cutoff,
@@ -452,6 +456,7 @@ class HemoCell:
             self._state = initial_sim_state(
                 cfg, self.cell_states, rho0=getattr(self, "_rho0", 1.0),
                 u0=getattr(self, "_u0", (0.0, 0.0, 0.0)),
+                cepac0=getattr(self, "_cepac0", None),
             )
         else:
             # keep fluid + iteration (and every auxiliary field), adopt
@@ -469,11 +474,37 @@ class HemoCell:
         self._dirty = False
 
     def set_resort_every(self, n: int):
-        """Amortise the Pallas IBM vertex sort over n steps (wall-free
-        domains only; keep n * u_lbm_max < 0.125 — see
-        StepConfig.resort_every)."""
+        """Amortise the Pallas IBM vertex sort over n steps (keep
+        n * u_lbm_max < 0.125 so drifting vertices stay inside the widened
+        kernel windows — see StepConfig.resort_every).  Without an explicit
+        call the facade auto-picks the largest safe cadence."""
         self.resort_every = int(n)
         self._dirty = True
+
+    def _auto_resort_every(self) -> int:
+        """Largest IBM resort cadence whose worst-case drift
+        (n * u_lbm_max per step) stays safely inside the shadow kernels'
+        boundary strips; explicit set_resort_every wins.
+
+        The shadow only pays when the per-step vertex sort it amortises is
+        expensive — which scales with total vertex count.  Measured on the
+        v5e: at ~30k vertices (pipeflow tube) the shadow's fixed overhead
+        (wider drift-strip windows + the 4-field masked interp) costs more
+        than the ~0.2 ms sort it saves; at 70k+ (64^3 suspension) the
+        sort dominates and the shadow wins.  Crossover ~48k."""
+        explicit = getattr(self, "resort_every", None)
+        if explicit is not None:
+            return explicit
+        n_verts = sum(
+            cs.pos.shape[0] * cs.pos.shape[1] for cs in self.cell_states
+        )
+        if n_verts < 48_000:
+            return 1
+        u_max = getattr(self.params, "u_lbm_max", 0.1) or 0.1
+        for k in (8, 4, 2):
+            if k * u_max < 0.1:  # margin under the 0.125 strip width
+                return k
+        return 1
 
     def distribute(self, n_devices: int | None = None, mesh=None):
         """Run the simulation domain-decomposed over a device mesh — the
@@ -535,10 +566,59 @@ class HemoCell:
             self._build()
         with self.profiler("iterate"):
             self._state = self._runner(self._state, n)
-        self.iter = int(self._state.it)
+        # iterate(n) advances exactly n steps — count host-side instead of
+        # fetching state.it (a device->host scalar read through the axon
+        # tunnel costs ~0.7 ms/iter at n=50; see docs/PERFORMANCE.md)
+        self.iter += n
+        self._check_overflow()
         # mirror state back for observers
         self.cell_states = list(self._state.cells)
         return self._state
+
+    def _check_overflow(self):
+        """Deferred in-run IBM window overflow guard: a migrated/packed
+        slab exceeding the kernels' static window capacity drops
+        contributions silently in-kernel, which corrupts physics.  The
+        counter is shipped device->host ASYNCHRONOUSLY each iterate call
+        and inspected on the NEXT call (by which point the transfer has
+        landed — zero stall on the hot path); on overflow we warn loudly
+        and fall back to the exact XLA scatter path for subsequent steps."""
+        if getattr(self, "spread_mode", None) == "scatter":
+            return
+        prev = getattr(self, "_ov_pending", None)
+        if prev is not None and int(np.asarray(prev)) > 0:
+            import warnings as _w
+
+            _w.warn(
+                f"IBM slab-window overflow detected by iteration "
+                f"{self.iter} ({int(np.asarray(prev))} dropped "
+                f"contributions): falling back to spread_mode='scatter' "
+                f"for subsequent steps; re-run from the last checkpoint "
+                f"for exact results", stacklevel=3,
+            )
+            self.spread_mode = "scatter"
+            self._ov_pending = None
+            self._state = self._state._replace(
+                ibm_overflow=jnp.zeros((), jnp.int32)
+            )
+            self._dirty = True
+            return
+        ov = self._state.ibm_overflow
+        if ov is not None:
+            try:
+                ov.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._ov_pending = ov
+
+    def flush_overflow_guard(self):
+        """Synchronously run the (normally one-call-deferred) overflow
+        check against the CURRENT state — call before trusting final
+        results or writing a terminal checkpoint."""
+        ov = self._state.ibm_overflow if self._state is not None else None
+        if ov is not None:
+            self._ov_pending = ov
+            self._check_overflow()
 
     def block(self):
         jax.block_until_ready(self._state)
@@ -641,12 +721,19 @@ class HemoCell:
         return self.load_checkpoint(*a, **kw)
 
     def setOutputs(self, name, outputs):
-        """Per-type output selection kept for API parity; write_output
-        currently emits the full validated set."""
+        """Select which per-vertex datasets write_output emits for cell
+        type ``name`` (reference HemoCellField::setOutputVariables).
+        "Cell Id"/"Vertex Id" are always written; everything else —
+        including the recomputed separated force terms — only when
+        listed."""
         self._outputs = getattr(self, "_outputs", {})
         self._outputs[name] = list(outputs)
 
     def setFluidOutputs(self, outputs):
+        """Select the fluid HDF5 fields write_output emits (reference
+        desiredFluidOutputVariables): Velocity, Density, Boundary, Force,
+        ShearRate, StrainRate, ShearStress, Omega, CellDensity,
+        BindingSites, InteriorPoints."""
         self._fluid_outputs = list(outputs)
 
     def sanity_check(self, strict=False):
@@ -700,7 +787,7 @@ class HemoCell:
         self.outdir = path
         os.makedirs(path, exist_ok=True)
 
-    def write_output(self, fluid_fields=("Velocity", "Density", "Boundary"),
+    def write_output(self, fluid_fields=None,
                      si_units=False, async_io=False):
         """HDF5 fluid + per-type cell files and per-cell CSV for this
         iteration (reference: HemoCell::writeOutput,
@@ -717,6 +804,13 @@ class HemoCell:
 
         if self.outdir is None:
             raise RuntimeError("call set_output_dir first")
+        if fluid_fields is None:
+            # honor setFluidOutputs selection (reference
+            # desiredFluidOutputVariables, core/hemoCellFields.h)
+            fluid_fields = tuple(
+                getattr(self, "_fluid_outputs", None)
+                or ("Velocity", "Density", "Boundary")
+            )
         jobs = []
         st = self.state
         zero_force = jnp.zeros((3,) + self.shape, dtype=self.dtype)
@@ -748,33 +842,71 @@ class HemoCell:
                     S = 2.0 * nu * np.asarray(rho)[..., None] * S
                 fields[name] = S
             elif name == "Force":
+                # the actual lattice force: spread IBM particle forces
+                # (recomputed like the reference's spreadParticleForce
+                # re-run, io/FluidHdf5IO.cpp:46-49) plus the body force
                 bf = (
                     np.asarray(self._step_cfg.body_force)
                     if self._step_cfg is not None
                     and self._step_cfg.body_force is not None
                     else np.zeros(3)
                 )
-                fields[name] = np.broadcast_to(
-                    bf, self.shape + (3,)
-                ).astype(np.float32).copy()
+                total = np.asarray(self.spread_force_field()).transpose(
+                    1, 2, 3, 0
+                ) + np.broadcast_to(bf, self.shape + (3,))
+                fields[name] = total.astype(np.float32)
+            elif name == "BindingSites":
+                # reference outputBindingSites (io/FluidHdf5IO.hh:307-330):
+                # zero field when binding sites are unused
+                b = st.binding_mask
+                fields[name] = (
+                    np.asarray(b).astype(np.float32)
+                    if b is not None
+                    else np.zeros(self.shape, np.float32)
+                )
+            elif name == "InteriorPoints":
+                # reference outputInteriorPoints: nodes currently tagged
+                # interior by the interior-viscosity helper
+                om = st.omega_field
+                if om is not None:
+                    base = float(np.mean(np.asarray(self.omega)))
+                    fields[name] = (
+                        np.abs(np.asarray(om) - base) > 1e-12
+                    ).astype(np.float32)
+                else:
+                    fields[name] = np.zeros(self.shape, np.float32)
             elif name == "CellDensity":
-                # vertices-per-voxel histogram (reference OUTPUT_CELL_DENSITY)
-                dens = np.zeros(self.shape, np.float32)
-                for cs in st.cells:
+                # vertices-per-voxel histogram, one dataset per cell type
+                # (reference OUTPUT_CELL_DENSITY -> "CellDensity_<name>")
+                for k, ct in enumerate(self.cell_types):
+                    cs = st.cells[k]
+                    dens = np.zeros(self.shape, np.float32)
                     al = np.asarray(cs.alive)
-                    if not al.any():
-                        continue
-                    p = np.asarray(cs.pos)[al].reshape(-1, 3)
-                    ij = np.round(p).astype(int)
-                    for d in range(3):
-                        ij[:, d] = np.clip(ij[:, d], 0, self.shape[d] - 1)
-                    np.add.at(dens, (ij[:, 0], ij[:, 1], ij[:, 2]), 1.0)
-                fields[name] = dens
+                    if al.any():
+                        p = np.asarray(cs.pos)[al].reshape(-1, 3)
+                        ij = np.round(p).astype(int)
+                        for d in range(3):
+                            ij[:, d] = np.mod(ij[:, d], self.shape[d])
+                        np.add.at(
+                            dens, (ij[:, 0], ij[:, 1], ij[:, 2]), 1.0
+                        )
+                    fields[f"CellDensity_{ct.name}"] = dens
         jobs.append(_ft.partial(
             write_fluid_hdf5,
             self.outdir, self.iter, self.params.dx, self.params.dt, fields,
             si_units=si_units,
         ))
+        # CEPAC scalar field file (reference writeCEPACField_HDF5,
+        # core/hemoCell.cpp:274-277 + io/FluidHdf5IO.cpp:32-42)
+        if st.cepac is not None:
+            from .fluid.advection_diffusion import concentration
+
+            conc = np.asarray(concentration(st.cepac))
+            jobs.append(_ft.partial(
+                write_fluid_hdf5,
+                self.outdir, self.iter, self.params.dx, self.params.dt,
+                {"Density": conc}, identifier="CEPAC", si_units=si_units,
+            ))
         for k, ct in enumerate(self.cell_types):
             cs = st.cells[k]
             alive = np.asarray(cs.alive)
@@ -788,20 +920,37 @@ class HemoCell:
                 np.asarray(ct.topo.triangles)[None, :, :]
                 + (np.arange(nca) * nv)[:, None, None]
             ).reshape(-1, 3)
+            # per-type selection (reference HemoCellField::outputVariables
+            # via setOutputs); None = full validated set
+            sel = getattr(self, "_outputs", {}).get(ct.name)
+            want = (lambda n: sel is None or n in sel)
             datasets = {
-                "Velocity": vel.reshape(-1, 3),
-                "Total force": (frc + frep).reshape(-1, 3),
-                "Repulsion force": frep.reshape(-1, 3),
                 "Cell Id": np.repeat(np.arange(nca), nv)[:, None],
                 "Vertex Id": np.tile(np.arange(nv), nca)[:, None],
             }
-            if cs.restime is not None:
+            if want("Velocity"):
+                datasets["Velocity"] = vel.reshape(-1, 3)
+            if want("Total force"):
+                datasets["Total force"] = (frc + frep).reshape(-1, 3)
+            if want("Repulsion force"):
+                datasets["Repulsion force"] = frep.reshape(-1, 3)
+            if cs.restime is not None and want("restime"):
                 rt = np.asarray(cs.restime)[alive]
                 datasets["restime"] = np.repeat(rt, nv)[:, None]
             # separated constitutive force components, recomputed like the
             # reference's separateForceVectors re-run
-            # (core/hemoCellParticleField.cpp:590-614)
-            if nca > 0:
+            # (core/hemoCellParticleField.cpp:590-614); skipped entirely
+            # unless requested (they cost a model re-evaluation)
+            term_labels = [
+                ("Area force", "area"),
+                ("Volume force", "volume"),
+                ("Link force", "link"),
+                ("Bending force", "bending"),
+                ("Viscous force", "visc"),
+                ("Inner link force", "inner_link"),
+            ]
+            want_terms = [lbl for lbl, _ in term_labels if want(lbl)]
+            if nca > 0 and want_terms:
                 import jax
 
                 from .mechanics import MODEL_REGISTRY
@@ -810,17 +959,11 @@ class HemoCell:
                 terms = jax.vmap(
                     lambda p, v: model(p, v, ct.topo_dev, ct.material)
                 )(jnp.asarray(pos), jnp.asarray(vel))
-                for label, attr in [
-                    ("Area force", "area"),
-                    ("Volume force", "volume"),
-                    ("Link force", "link"),
-                    ("Bending force", "bending"),
-                    ("Viscous force", "visc"),
-                    ("Inner link force", "inner_link"),
-                ]:
-                    datasets[label] = np.asarray(
-                        getattr(terms, attr)
-                    ).reshape(-1, 3)
+                for label, attr in term_labels:
+                    if label in want_terms:
+                        datasets[label] = np.asarray(
+                            getattr(terms, attr)
+                        ).reshape(-1, 3)
             jobs.append(_ft.partial(
                 write_cells_hdf5,
                 self.outdir, self.iter, ct.name,
@@ -856,6 +999,46 @@ class HemoCell:
             self._writer.submit(_write_all)
         else:
             _write_all()
+
+    def spread_force_field(self):
+        """[3,X,Y,Z] IBM-spread particle force on the lattice, recomputed
+        at output time — the reference re-runs spreadParticleForce before
+        writing OUTPUT_FORCE (io/FluidHdf5IO.cpp:46-49) because the lattice
+        force is consumed each step; we rebuild it the same way from the
+        current particle forces (exact jnp scatter path)."""
+        from .ibm import coupling
+
+        st = self.state
+        field = jnp.zeros((3,) + self.shape, dtype=self.dtype)
+        parts, acts = [], []
+        for cs in st.cells:
+            if cs.pos.shape[0] == 0:
+                continue
+            nv = cs.pos.shape[1]
+            parts.append(
+                (
+                    coupling.cap_force(
+                        cs.force.reshape(-1, 3), self.params.f_limit
+                    )
+                    + cs.force_repulsion.reshape(-1, 3),
+                    cs.pos.reshape(-1, 3),
+                )
+            )
+            acts.append(jnp.repeat(cs.alive.astype(self.dtype), nv))
+        if not parts:
+            return field
+        ftot = jnp.concatenate([p[0] for p in parts])
+        pos = jnp.concatenate([p[1] for p in parts])
+        act = jnp.concatenate(acts)
+        fshape = jnp.asarray(self.shape, dtype=self.dtype)
+        pos_w = jnp.mod(pos, fshape[None, :])
+        has_b = bool(np.asarray(self.flags).any())
+        idx, w, _ = coupling.stencil(
+            pos_w, self.flags, weight_mask=act, return_total=True,
+            has_boundaries=has_b,
+        )
+        return field + coupling.spread(ftot, idx, w, self.shape,
+                                       dtype=self.dtype)
 
     def flush_output(self):
         """Block until all async writes have landed on disk."""

@@ -280,14 +280,15 @@ def _pick_chunk(C, Y, Z, budget=4 * 2**20):
     return max(ch, 512)
 
 
-def _spread_renorm_kernel(C, CH, X, Y, Z, mm, starts_ref, pos_hbm, F_hbm,
-                          m_lo, m_hi, out_pair, pos_v, F_v, sem):
+def _spread_renorm_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm,
+                          F_hbm, m_lo, m_hi, out_pair, pos_v, F_v, sem):
     """Spread with fused boundary-aware renormalisation: the per-vertex
     fluid-weight total (the separate mask-interpolation pass of the jnp
     path, reference core/immersedBoundaryMethod.h:62-138) is computed from
-    the same one-hots and divided out in-kernel."""
-    g = pl.program_id(0)
-    al, nch = _window_bounds(starts_ref, g, X, 1, 0, C, CH)
+    the same one-hots and divided out in-kernel.  ``M``/``E`` follow
+    _spread_kernel: sub-slab window resolution + drift strips (shadow)."""
+    g = pl.program_id(0) - (1 if E else 0)
+    al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
     cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
     cp_pos.start()
@@ -385,7 +386,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
     )
     if mask is not None:
         kernel = functools.partial(
-            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, mm
+            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, 1, 0, mm
         )
     else:
         kernel = functools.partial(
@@ -534,9 +535,15 @@ def shadow_supported_drift(resort_every: int, u_max: float = 0.05) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
                                              "mm"))
-def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
+def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
+                         mask=None):
     """Spread from a shadow plan (pos_cm holds CURRENT, possibly drifted,
     unwrapped positions; payload_cm the current sorted forces).
+
+    With ``mask`` (a [X,Y,Z] fluid mask) the deposit is renormalised by the
+    per-vertex fluid-weight total in-kernel, exactly as pallas_spread's
+    walled path — this is what lets walled domains (pipeflow tube) ride the
+    amortised-resort shadow instead of re-sorting every step.
 
     Returns the [3,X,Y,Z] field."""
     if interpret is None:
@@ -545,13 +552,27 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
     C = capacity
     dtype = plan.payload_cm.dtype
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [plan.pos_cm, plan.payload_cm]
+    if mask is not None:
+        # program q claims slab s = q-1; deposit planes mod(s, X) and
+        # mod(s+1, X) — the mask blocks follow the same wrap
+        in_specs += [
+            pl.BlockSpec((1, 1, Y, Z), lambda q, s: ((q - 1 + X) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Y, Z), lambda q, s: (q % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        m_x = mask.astype(dtype)[:, None]  # [X, 1, Y, Z]
+        operands += [m_x, m_x]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(X + 2,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, Y, 2 * Z), lambda q, s: (q, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -560,15 +581,22 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(
-        _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA, mm
-    )
+    if mask is not None:
+        kernel = functools.partial(
+            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z,
+            SUBDIV, EXTRA, mm
+        )
+    else:
+        kernel = functools.partial(
+            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA,
+            mm
+        )
     pair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((X + 2, 3, Y, 2 * Z), dtype),
         interpret=interpret,
-    )(plan.starts, plan.pos_cm, plan.payload_cm)
+    )(plan.starts, *operands)
     # lane halves -> per-program deposit planes, then onto lattice rows:
     # program q claims slab s = q-1; lo -> row mod(s, X), hi -> mod(s+1, X)
     lo, hi = pair[..., :Z], pair[..., Z:]

@@ -369,6 +369,9 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             cepac=None, omega_field=None, flags_state=None,
             binding_mask=None, bc_state=None, body_force_state=None,
             le_displacement=None,
+            # carried through unchanged: the sharded path uses the exact
+            # jnp scatter spread (no static slab windows to overflow)
+            ibm_overflow=state.ibm_overflow,
         )
 
     return local_step

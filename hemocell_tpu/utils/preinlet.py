@@ -102,7 +102,10 @@ def make_coupled_stepper(
         bc = st.main.bc_state
         bc = bc.at[:, 0, :, :].set(plane.astype(dtype))
 
-        # particle re-injection by periodic-image crossing count
+        # particle re-injection by periodic-image crossing count: EVERY
+        # crossed cell is shipped this step (the reference transfers the
+        # full crossing set each iteration, preInlet.cpp:254-352) — the
+        # i-th crossed cell (in index order) lands in the i-th free slot.
         new_crossings = []
         main_cells = list(st.main.cells)
         for k, (pcs, mcs) in enumerate(zip(pre2.cells, st.main.cells)):
@@ -114,33 +117,52 @@ def make_coupled_stepper(
             cx = pcs.pos[:, :, 0].mean(axis=1)  # unwrapped centres
             images = jnp.floor(cx / Lp).astype(jnp.int32)
             crossed = (images > st.crossings[k]) & pcs.alive
-            new_crossings.append(jnp.maximum(st.crossings[k], images))
 
-            # inject the first crossed cell (at most one per type per step;
-            # crossings are rare relative to the step rate)
-            src = jnp.argmax(crossed)
-            any_crossed = jnp.any(crossed)
-            free = jnp.argmin(mcs.alive)  # first dead slot
-            has_free = ~jnp.all(mcs.alive)
-            do = any_crossed & has_free
+            n_free = jnp.sum(~mcs.alive)
+            rank = jnp.cumsum(crossed) - 1  # rank among crossed cells
+            injected = crossed & (rank < n_free)
+            # watermark advances ONLY for injected crossings, so a cell
+            # denied by a full receiver retries next step instead of being
+            # silently dropped
+            new_crossings.append(
+                jnp.where(injected, images, st.crossings[k])
+            )
 
-            # map preinlet coordinates into the main domain: wrapped position
-            # near the outlet becomes position near the main inlet
-            src_pos = pcs.pos[src]
-            src_pos = src_pos - jnp.floor(
-                src_pos[:, 0].mean() / Lp
-            ) * Lp * jnp.asarray([1.0, 0.0, 0.0], dtype)
+            # map preinlet coordinates into the main domain: subtract the
+            # periodic image offset so the fresh image enters at the inlet
+            shift = jnp.floor(cx / Lp).astype(dtype) * Lp
+            mapped_pos = pcs.pos - shift[:, None, None] * jnp.asarray(
+                [1.0, 0.0, 0.0], dtype
+            )
 
-            def inject(cs):
-                return cs._replace(
-                    pos=cs.pos.at[free].set(src_pos),
-                    vel=cs.vel.at[free].set(pcs.vel[src]),
-                    force=cs.force.at[free].set(0.0),
-                    force_repulsion=cs.force_repulsion.at[free].set(0.0),
-                    alive=cs.alive.at[free].set(True),
-                )
+            # pair crossed cells with free slots by rank (both argsorts are
+            # stable, so ranks align with index order)
+            NCp = crossed.shape[0]
+            NCm = mcs.alive.shape[0]
+            R = min(NCp, NCm)  # static bound on injections per step
+            src = jnp.argsort(~crossed, stable=True)[:R]  # crossed first
+            tgt = jnp.argsort(mcs.alive, stable=True)[:R]  # dead first
+            count = jnp.minimum(jnp.sum(crossed), n_free)
+            m = jnp.arange(R) < count
 
-            main_cells[k] = jax.lax.cond(do, inject, lambda cs: cs, mcs)
+            def sel(new, old):
+                mm = m.reshape((R,) + (1,) * (new.ndim - 1))
+                return jnp.where(mm, new, old)
+
+            main_cells[k] = mcs._replace(
+                pos=mcs.pos.at[tgt].set(sel(mapped_pos[src], mcs.pos[tgt])),
+                vel=mcs.vel.at[tgt].set(sel(pcs.vel[src], mcs.vel[tgt])),
+                force=mcs.force.at[tgt].set(
+                    sel(jnp.zeros_like(mcs.force[tgt]), mcs.force[tgt])
+                ),
+                force_repulsion=mcs.force_repulsion.at[tgt].set(
+                    sel(
+                        jnp.zeros_like(mcs.force_repulsion[tgt]),
+                        mcs.force_repulsion[tgt],
+                    )
+                ),
+                alive=mcs.alive.at[tgt].set(m | mcs.alive[tgt]),
+            )
 
         main2 = main_step(
             st.main._replace(bc_state=bc, cells=tuple(main_cells))
@@ -159,3 +181,52 @@ def initial_crossings(pre_state: SimState, pre_length: int):
         cx = cs.pos[:, :, 0].mean(axis=1)
         out.append(jnp.floor(cx / pre_length).astype(jnp.int32))
     return tuple(out)
+
+
+def preinlet_from_slice(main_flags, x_index: int, length: int):
+    """Construct a periodic preinlet driver domain from one cross-section
+    of the main domain (reference ``PreInlet::preInletFromSlice``,
+    helper/preInlet.cpp:591-640): the wall pattern of the slice is
+    replicated ``length`` times along the flow axis.
+
+    Returns (pre_flags [length,Y,Z] uint8, inlet_mask [Y,Z] bool) where
+    inlet_mask marks the fluid nodes of the slice (the coupling plane).
+    """
+    from ..config.defaults import FLAG_FLUID
+
+    flags = np.asarray(main_flags)
+    plane = flags[x_index]
+    pre_flags = np.broadcast_to(
+        plane[None], (int(length),) + plane.shape
+    ).astype(np.uint8).copy()
+    inlet_mask = plane == FLAG_FLUID
+    return pre_flags, inlet_mask
+
+
+def auto_preinlet_from_boundary(main_flags, length: int, face: str = "low"):
+    """Create a preinlet from the main domain's boundary face — the
+    reference's ``autoPreinletFromBoundary`` (helper/preInlet.cpp:641-671)
+    walks inward from the face until it finds a plane with fluid nodes and
+    slices the preinlet there.
+
+    Returns (pre_flags, inlet_mask, main_flags_marked, x_face) where
+    main_flags_marked has the face's fluid nodes re-tagged FLAG_VELOCITY
+    (the plane the coupled stepper drives), and x_face is the slice index
+    used.
+    """
+    from ..config.defaults import FLAG_FLUID, FLAG_VELOCITY
+
+    flags = np.asarray(main_flags)
+    X = flags.shape[0]
+    sweep = range(X) if face == "low" else range(X - 1, -1, -1)
+    for x in sweep:
+        if (flags[x] == FLAG_FLUID).any():
+            break
+    else:
+        raise ValueError("no fluid plane found along the flow axis")
+    pre_flags, inlet_mask = preinlet_from_slice(flags, x, length)
+    marked = flags.copy()
+    plane = marked[x]
+    plane[inlet_mask] = FLAG_VELOCITY
+    marked[x] = plane
+    return pre_flags, inlet_mask, marked, x

@@ -71,6 +71,81 @@ def _set_slice(arr, axis, idx, value):
     arr[tuple(sl)] = value
 
 
+def pad_flags_axis(
+    flags: np.ndarray,
+    axis: int = 0,
+    multiple: int = 8,
+    mode: str = "extend",
+):
+    """Pad a flag matrix along ``axis`` up to the next multiple of
+    ``multiple`` so the domain is lane-fold- and shard-friendly (TPU lane
+    tiles are 128 wide; the shard_map runner needs X % n_shards == 0).
+
+    ``mode='extend'`` replicates the boundary plane — exact for flow-axis
+    periodic domains whose geometry is uniform at the wrap (the voxelizer's
+    open-ends copy guarantees the two end planes match; asserted here).
+    ``mode='wall'`` appends solid planes — inert for non-periodic axes.
+
+    The reference instead decomposes any domain into arbitrary blocks
+    (core/hemoCell.cpp:438-571); dense sharded arrays want divisible
+    extents, and solid/replicated padding planes are the cheap equivalent.
+
+    Returns (padded_flags, n_added).
+    """
+    n = flags.shape[axis]
+    target = -(-n // multiple) * multiple
+    add = target - n
+    if add == 0:
+        return flags, 0
+    if mode == "extend":
+        first = np.take(flags, 0, axis=axis)
+        last = np.take(flags, n - 1, axis=axis)
+        if not np.array_equal(first, last):
+            raise ValueError(
+                "extend-padding requires matching boundary planes along "
+                f"axis {axis} (periodic-uniform geometry); use mode='wall'"
+            )
+        reps = [1] * flags.ndim
+        reps[axis] = add
+        pad_block = np.tile(np.expand_dims(last, axis), reps)
+    elif mode == "wall":
+        pad_shape = list(flags.shape)
+        pad_shape[axis] = add
+        pad_block = np.full(pad_shape, FLAG_WALL, dtype=flags.dtype)
+    else:
+        raise ValueError(f"unknown pad mode {mode!r}")
+    return np.concatenate([flags, pad_block], axis=axis), add
+
+
+def pad_flags_tpu(flags: np.ndarray, x_mode: str = "extend"):
+    """Pad a voxelized domain to TPU-friendly extents on all three axes:
+
+    - X -> multiple of 8 (``x_mode``: 'extend' replicates the boundary
+      plane — exact for flow-axis-periodic tubes; 'wall' appends solid)
+    - Y -> multiple of 8 (f32 sublane tile) with wall planes
+    - Z -> the smallest lane-fold-exact extent (a divisor of 128: 16, 32,
+      64, 128) when the extra nodes cost <= 35%, else the next multiple
+      of 8 — so fold_field can fill the whole 128-lane vector tile and
+      the IBM spread output's 2Z lanes align
+
+    Wall planes are inert (pure bounce-back, no flow reaches them); the
+    reference instead decomposes arbitrary extents into blocks
+    (core/hemoCell.cpp:438-571) — dense TPU arrays want aligned extents.
+
+    Returns (padded_flags, (ax, ay, az)).
+    """
+    f1, ax = pad_flags_axis(flags, axis=0, multiple=8, mode=x_mode)
+    f2, ay = pad_flags_axis(f1, axis=1, multiple=8, mode="wall")
+    Z = f2.shape[2]
+    z_target = -(-Z // 8) * 8
+    for cand in (16, 32, 64, 128):
+        if cand >= Z and cand <= Z * 1.35:
+            z_target = cand
+            break
+    f3, az = pad_flags_axis(f2, axis=2, multiple=z_target, mode="wall")
+    return f3, (ax, ay, az)
+
+
 def _inside_by_parity(tris: np.ndarray, shape) -> np.ndarray:
     """Node-centre inside test by counting +x ray crossings (vectorised
     Möller–Trumbore; the same parity idea as the reference's octree raycast,

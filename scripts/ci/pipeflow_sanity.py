@@ -20,7 +20,11 @@ from __future__ import annotations
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(
@@ -29,11 +33,12 @@ sys.path.insert(
 
 import jax
 
-if jax.default_backend() == "cpu" or len(jax.devices()) < 8:
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+# This CI script always runs on CPU with 8 virtual devices (the shard
+# invariance tiers need a multi-device mesh; the real chip is single).
+# The pin must happen BEFORE any backend query — the harness sitecustomize
+# re-pins the axon TPU platform and a config update after backend
+# initialization is a silent no-op.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -75,32 +80,57 @@ def main():
     n1 = sum(hc.alive_count(i) for i in range(len(hc.cell_types)))
     check("cells survive 1000 iterations", n1 == n0, f"({n1}/{n0})")
 
-    # ---- shard-count invariance --------------------------------------
+    # ---- shard-count invariance on the ACTUAL tube -------------------
+    # two tiers, both on the real voxelized pipeflow domain (padded to
+    # X % 8 == 0 by pad_flags_tpu, so an 8-way x-mesh always applies —
+    # the reference analog is mpirun -n 2 vs -n 4 logfile diffs,
+    # scripts/ci/pipeflow_sanity.sh:26-33):
+    #   1. the PRODUCTION path: Pallas kernels under shard_map (explicit
+    #      halo ppermute) vs the single-device Pallas runner;
+    #   2. the exact jnp scatter path under GSPMD sharding.
     if len(jax.devices()) >= 8:
         from hemocell_tpu.parallel import (
             build_sharded_runner,
             make_mesh,
             shard_state,
         )
+        from hemocell_tpu.parallel.sharded_step import (
+            build_shardmap_runner,
+            shardmap_supported,
+        )
         from hemocell_tpu.dynamics import build_runner
         import dataclasses
 
         hc._build()
+        state = hc.state
+        X = hc.shape[0]
+        assert X % 8 == 0, "pad_flags_tpu guarantees X % 8 == 0"
+        mesh = make_mesh(8, axes=("x",))
+
+        cfgp = dataclasses.replace(hc._step_cfg, spread_mode="pallas",
+                                   resort_every=1)
+        check("shard_map supports the tube config", shardmap_supported(cfgp))
+        ref_p = build_runner(cfgp)(state, 3)
+        out_p = build_shardmap_runner(cfgp, mesh)(
+            shard_state(state, mesh), 3
+        )
+        same_f = np.allclose(np.asarray(out_p.f), np.asarray(ref_p.f),
+                             rtol=1e-6, atol=1e-7)
+        same_cells = all(
+            np.allclose(np.asarray(co.pos), np.asarray(cr.pos),
+                        rtol=0, atol=1e-6)
+            and np.array_equal(np.asarray(co.alive), np.asarray(cr.alive))
+            for co, cr in zip(out_p.cells, ref_p.cells)
+        )
+        check("Pallas shard_map invariance (1 vs 8, actual tube)",
+              same_f and same_cells)
+
         cfg = dataclasses.replace(hc._step_cfg, use_pallas=False,
                                   spread_mode="scatter")
-        state = hc.state
         ref = build_runner(cfg)(state, 5)
-        X = hc.shape[0]
-        # the tube X=103 is prime: invariance is checked on a 1-vs-8 mesh of
-        # a trimmed domain only when divisible; otherwise use replicated mesh
-        n_dev = 8 if X % 8 == 0 else 1
-        if n_dev > 1:
-            mesh = make_mesh(n_dev, axes=("x",))
-            out = build_sharded_runner(cfg, mesh)(shard_state(state, mesh), 5)
-            same = np.allclose(np.asarray(out.f), np.asarray(ref.f), atol=1e-6)
-            check("shard-count invariance (1 vs 8)", same)
-        else:
-            print("[SKIP] shard-count invariance (X not divisible by 8)")
+        out = build_sharded_runner(cfg, mesh)(shard_state(state, mesh), 5)
+        same = np.allclose(np.asarray(out.f), np.asarray(ref.f), atol=1e-6)
+        check("GSPMD scatter invariance (1 vs 8)", same)
 
     # ---- checkpoint round-trip ----------------------------------------
     import tempfile

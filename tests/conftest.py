@@ -10,22 +10,29 @@ import os
 # The harness environment pins JAX_PLATFORMS=axon (single tunneled TPU chip)
 # and its sitecustomize overrides jax_platforms via jax.config at interpreter
 # start — so both the env var AND the config entry must be forced back to cpu.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# HEMOCELL_TEST_PLATFORM=tpu keeps the real chip (for the --run-slow
+# validation oracles, whose recorded numbers live in VALIDATION.md).
+_platform = os.environ.get("HEMOCELL_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # f64 available for validation-grade tests; arrays default to f32 unless asked
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# (TPU has no f64 — x64 stays off there)
+if _platform == "cpu":
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
 # sitecustomize imports jax before this file runs, so env vars alone are
 # ignored — the config entries must be set directly.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-assert jax.default_backend() == "cpu", jax.default_backend()
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 import pytest  # noqa: E402
 

@@ -96,6 +96,28 @@ def test_voxelize_tube():
     assert (flags == FLAG_WALL).sum() > 0
 
 
+def test_pad_flags_axis():
+    from hemocell_tpu.utils.voxelize import pad_flags_axis
+
+    flags = np.zeros((103, 8, 8), np.uint8)
+    flags[:, 0, :] = FLAG_WALL  # x-uniform geometry
+    out, added = pad_flags_axis(flags, axis=0, multiple=8, mode="extend")
+    assert out.shape == (104, 8, 8) and added == 1
+    np.testing.assert_array_equal(out[-1], flags[-1])
+    # already divisible: no-op
+    out2, added2 = pad_flags_axis(out, axis=0, multiple=8)
+    assert added2 == 0 and out2 is out
+    # wall mode appends solid planes
+    out3, added3 = pad_flags_axis(flags, axis=0, multiple=16, mode="wall")
+    assert out3.shape == (112, 8, 8) and added3 == 9
+    assert (out3[103:] == FLAG_WALL).all()
+    # extend requires matching end planes
+    bad = flags.copy()
+    bad[-1, 3, 3] = FLAG_WALL
+    with pytest.raises(ValueError):
+        pad_flags_axis(bad, axis=0, multiple=8, mode="extend")
+
+
 def test_async_output(tmp_path):
     """async_io=True writes the same files as the synchronous path."""
     import jax.numpy as jnp

@@ -115,3 +115,112 @@ def test_preinlet_coupling():
     # no double injection for the same image
     st3 = stepper(st2)
     assert int(st3.main.cells[0].alive.sum()) == 1
+
+
+def test_preinlet_multi_injection():
+    """Dense preinlet: >=3 cells crossing in ONE step are all transferred
+    (reference ships the full crossing set each iteration,
+    helper/preInlet.cpp:254-352); a full receiver defers, not drops."""
+    shape = (24, 12, 12)
+    dtype = jnp.float64
+    mesh, tc = _type(dtype)
+
+    walls = np.zeros(shape, np.uint8)
+    walls[:, 0, :] = FLAG_WALL
+    walls[:, -1, :] = FLAG_WALL
+    pre_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(walls), omega=1.0, types=[tc],
+        body_force=jnp.asarray([1e-5, 0, 0], dtype), dtype=dtype,
+        use_pallas=False,
+    )
+    mflags = walls.copy()
+    mflags[0, 1:-1, :] = FLAG_VELOCITY
+    main_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(mflags), omega=1.0, types=[tc],
+        dtype=dtype, use_pallas=False,
+    )
+
+    # 4 preinlet cells at distinct y/z-ish spots, all near the outlet
+    centers = np.array([
+        [20.0, 4.0, 6.0], [20.5, 8.0, 6.0],
+        [21.0, 6.0, 4.0], [21.5, 6.0, 8.0],
+    ])
+    pre_cells = make_cell_state(
+        mesh.vertices[None] + centers[:, None, :], dtype=dtype
+    )
+    far = np.repeat(
+        mesh.vertices[None] + np.array([-100.0, 6.0, 6.0]), 3, axis=0
+    )
+    main_cells = make_cell_state(far, dtype=dtype)._replace(
+        alive=jnp.zeros(3, bool)
+    )
+
+    pre_state = initial_sim_state(pre_cfg, [pre_cells])
+    main_state = initial_sim_state(
+        main_cfg, [main_cells]
+    )._replace(bc_state=jnp.zeros((3,) + shape, dtype))
+
+    stepper = make_coupled_stepper(pre_cfg, main_cfg)
+    st = PreInletState(
+        pre=pre_state, main=main_state,
+        body_force=jnp.asarray(1e-5, dtype),
+        crossings=initial_crossings(pre_state, shape[0]),
+    )
+    st = stepper(st)
+    # teleport ALL FOUR preinlet cells across the periodic boundary at once
+    # (+10 puts the mapped images safely inside the main domain, clear of
+    # the inlet velocity plane that wall-contact deletion guards)
+    pc = st.pre.cells[0]
+    st = st._replace(
+        pre=st.pre._replace(
+            cells=(pc._replace(
+                pos=pc.pos + jnp.asarray([10.0, 0, 0], dtype)
+            ),)
+        )
+    )
+    st2 = stepper(st)
+    # only 3 receiver slots: exactly 3 injected this step
+    assert int(st2.main.cells[0].alive.sum()) == 3
+    # all injected cells sit near the main inlet
+    alive = np.asarray(st2.main.cells[0].alive)
+    cx = np.asarray(st2.main.cells[0].pos[..., 0].mean(axis=1))[alive]
+    assert np.all((-8.0 < cx) & (cx < 30.0))
+    # the 4th crossing was DEFERRED (watermark not advanced): freeing a
+    # slot lets it inject on a later step
+    mc = st2.main.cells[0]
+    st2 = st2._replace(
+        main=st2.main._replace(
+            cells=(mc._replace(alive=mc.alive.at[0].set(False)),)
+        )
+    )
+    st3 = stepper(st2)
+    assert int(st3.main.cells[0].alive.sum()) == 3  # 2 kept + deferred one
+
+
+def test_auto_preinlet_from_boundary():
+    from hemocell_tpu.config.defaults import FLAG_FLUID, FLAG_VELOCITY
+    from hemocell_tpu.utils.preinlet import (
+        auto_preinlet_from_boundary,
+        preinlet_from_slice,
+    )
+
+    flags = np.zeros((16, 8, 8), np.uint8)
+    flags[:, 0, :] = FLAG_WALL
+    flags[:, -1, :] = FLAG_WALL
+    flags[0] = FLAG_WALL  # solid cap: auto must walk inward to x=1
+
+    pre, mask, marked, xf = auto_preinlet_from_boundary(flags, length=12)
+    assert xf == 1
+    assert pre.shape == (12, 8, 8)
+    # preinlet cross-section replicates the slice's wall pattern
+    assert (pre[:, 0, :] == FLAG_WALL).all()
+    assert (pre[:, 3, :] == FLAG_FLUID).all()
+    assert mask.shape == (8, 8) and mask.sum() == 6 * 8
+    # main face fluid nodes re-tagged as the coupling velocity plane
+    assert (marked[1][mask] == FLAG_VELOCITY).all()
+    assert (marked[2] == flags[2]).all()
+
+    pre2, mask2 = preinlet_from_slice(flags, 5, 4)
+    assert pre2.shape == (4, 8, 8)
+    np.testing.assert_array_equal(pre2[0], flags[5])
+    assert (mask2 == (flags[5] == FLAG_FLUID)).all()
