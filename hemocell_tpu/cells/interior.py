@@ -112,6 +112,75 @@ def omega_field_from_mask(mask, omega_bulk, omega_interior):
     return jnp.where(mask, omega_interior, omega_bulk)
 
 
+def membrane_omega_update(om, pos, tri, alive, omega_interior, omega_bg,
+                          edge_mean_eq, shape):
+    """Cheap interior-viscosity refresh at the membrane — the reference's
+    second (fast) timescale (``internalGridPointsMembrane``,
+    core/hemoCellParticleField.cpp:746-773): each vertex classifies its
+    2x2x2 kernel nodes by the sign of dot(node - vertex, outward normal);
+    nodes within ``edge_mean_eq`` of a vertex flip to the interior omega
+    (inside) or back to the background (outside).  Far-from-membrane nodes
+    keep whatever the last FULL raycast set — drift is bounded because the
+    membrane sweep re-tags every node the surface passes over.
+
+    om: [X, Y, Z] omega field; pos: [NC, NV, 3] unwrapped vertex positions.
+    When several vertices claim one node, the NEAREST vertex's tangent
+    plane decides (packed scatter-min over squared distance) — more
+    accurate and deterministic, unlike the reference's particle-order
+    last-writer-wins."""
+    NC, NV, _ = pos.shape
+    X, Y, Z = (int(s) for s in shape)
+    dtype = om.dtype
+
+    def cell_normals(p):
+        v0, v1, v2 = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
+        tn = jnp.cross(v1 - v0, v2 - v0)  # outward (consistent winding)
+        n = jnp.zeros_like(p)
+        for i in range(3):
+            n = n.at[tri[:, i]].add(tn)
+        return n
+
+    normals = jax.vmap(cell_normals)(pos).reshape(-1, 3)
+    p = pos.reshape(-1, 3)
+    act = jnp.repeat(alive, NV)
+    base = jnp.floor(p)
+    r2max = jnp.asarray(edge_mean_eq * edge_mean_eq, dtype)
+
+    # all 8 stencil nodes per vertex in one batch -> one scatter per pass
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        dtype,
+    )
+    node = base[:, None, :] + offs[None, :, :]          # [P, 8, 3]
+    lat = node - p[:, None, :]
+    near = (lat * lat).sum(-1) <= r2max                  # [P, 8]
+    near = near & act[:, None]
+    inside = (lat * normals[:, None, :]).sum(-1) < 0.0
+
+    ni = jnp.mod(node, jnp.asarray([X, Y, Z], dtype)).astype(jnp.int32)
+    lin = (ni[..., 0] * Y + ni[..., 1]) * Z + ni[..., 2]  # [P, 8]
+    dump = X * Y * Z  # masked entries land on a pad cell
+
+    # pack (squared distance, inside-bit) into one int32 key: scatter-min
+    # picks the nearest claiming vertex, its LSB carries the verdict
+    d2 = (lat * lat).sum(-1)
+    key = (
+        jnp.floor(d2 * 1.0e6).astype(jnp.int32) * 2
+        + inside.astype(jnp.int32)
+    )
+    big = jnp.iinfo(jnp.int32).max
+    keys = jnp.where(near, key, big).reshape(-1)
+    idx = jnp.where(near, lin, dump).reshape(-1)
+    acc = jnp.full(X * Y * Z + 1, big, jnp.int32).at[idx].min(keys)[:-1]
+    touched = acc < big
+    om_new = jnp.where(
+        (acc % 2) == 1,
+        jnp.asarray(omega_interior, dtype),
+        jnp.asarray(omega_bg, dtype),
+    )
+    return jnp.where(touched, om_new, om.reshape(-1)).reshape(X, Y, Z)
+
+
 def interior_tau(viscosity_ratio: float, tau: float) -> float:
     """tau_int = ratio*(tau-0.5)+0.5 (reference: core/hemoCellField.cpp:100)."""
     return viscosity_ratio * (tau - 0.5) + 0.5

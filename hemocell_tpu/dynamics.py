@@ -115,9 +115,14 @@ class StepConfig:
     cepac_tau: Optional[float] = None
     cepac_dirichlet_mask: Optional[jnp.ndarray] = None  # uint8 [X,Y,Z]
     cepac_dirichlet_value: Optional[jnp.ndarray] = None  # [X,Y,Z]
-    # interior viscosity recompute period (0 = disabled;
+    # interior viscosity membrane-update period (0 = disabled;
     # reference: interiorViscosityTimescale)
     interior_every: int = 0
+    # full-raycast period (0 = raycast at interior_every, no cheap update;
+    # reference: interiorViscosityEntireGridTimescale — the octree raycast
+    # runs rarely, the membrane-normal sweep at interior_every in between,
+    # core/hemoCell.cpp:347-357)
+    interior_entire_every: int = 0
     # solidification period (0 = disabled; reference: solidifyTimescale)
     solidify_every: int = 0
     # IBM exchange: None = auto (Pallas sorted-slab kernels on wall-free TPU
@@ -494,7 +499,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         omega = cfg.omega
         omega_field_new = state.omega_field
         if cfg.interior_every and state.omega_field is not None:
-            from .cells.interior import interior_mask
+            from .cells.interior import interior_mask, membrane_omega_update
 
             def _recompute(_):
                 om = jnp.full(shape, cfg.omega, dtype=cfg.dtype)
@@ -510,9 +515,30 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     om = jnp.where(m, tc.omega_interior, om)
                 return om
 
+            # full raycast at the (rare) entire-grid timescale; in between,
+            # the cheap membrane-normal sweep re-tags only nodes the
+            # surface passes over (core/hemoCellParticleField.cpp:746-807)
+            entire = cfg.interior_entire_every or cfg.interior_every
             omega_field_new = _every(
-                it, cfg.interior_every, _recompute, None, state.omega_field
+                it, entire, _recompute, None, state.omega_field
             )
+            if cfg.interior_entire_every and entire != cfg.interior_every:
+
+                def _membrane(om):
+                    for tc, cs in zip(cfg.types, cells):
+                        if tc.omega_interior is None:
+                            continue
+                        om = membrane_omega_update(
+                            om, cs.pos, tc.topo["tri"], cs.alive,
+                            tc.omega_interior, cfg.omega,
+                            tc.topo["edge_mean_eq"], shape,
+                        )
+                    return om
+
+                omega_field_new = _every(
+                    it, cfg.interior_every, _membrane,
+                    omega_field_new, omega_field_new,
+                )
             omega = omega_field_new
 
         # ---- 3: fluid collide + stream ------------------------------------
@@ -524,7 +550,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 state.f, force_field, omega, state.le_displacement,
                 cfg.lees_edwards_velocity,
             )
-            le_disp_new = state.le_displacement + cfg.lees_edwards_velocity
+            # wrap by X: only disp mod X enters the image shift and the
+            # particle mapping (le_w is an integer image count), and an
+            # unbounded f32 accumulator loses precision over long shears
+            le_disp_new = jnp.mod(
+                state.le_displacement + cfg.lees_edwards_velocity, fshape[0]
+            )
         else:
             use_pallas = cfg.use_pallas
             if use_pallas is None:

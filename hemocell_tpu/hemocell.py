@@ -107,6 +107,7 @@ class HemoCell:
         self.boundary_repulsion_cutoff = 0.0
         self.boundary_repulsion_every = 1
         self.interior_every = 0  # interiorViscosityTimescale (0 = off)
+        self.interior_entire_every = 0  # interiorViscosityEntireGrid
         self.solidify_every = 0  # solidifyTimescale (0 = off)
         self.cepac_tau = None
         self._state: Optional[SimState] = None
@@ -225,9 +226,19 @@ class HemoCell:
                                                 dtype=self.dtype))
         self._dirty = True
         # honour <enableInteriorViscosity> in the material XML (reference:
-        # tools/cell_templates/RBC_template.xml keys)
+        # tools/cell_templates/RBC_template.xml keys); the two timescales
+        # come from the main config's <sim> block (reference
+        # cellCollision_interior_viscosity/config.xml)
         if mat_cfg.get("enableInteriorViscosity", int, 0):
-            self.enable_interior_viscosity(len(self.cell_types) - 1)
+            every, entire = 10, 0
+            if self.cfg is not None and "sim" in self.cfg:
+                every = self.cfg["sim"].get("interiorViscosity", int, 10)
+                entire = self.cfg["sim"].get(
+                    "interiorViscosityEntireGrid", int, 0
+                )
+            self.enable_interior_viscosity(
+                len(self.cell_types) - 1, every=every, entire_every=entire
+            )
         return ct
 
     def load_particles(self, pos_dir: Optional[str] = None,
@@ -287,9 +298,15 @@ class HemoCell:
         self._dirty = True
 
     def enable_interior_viscosity(self, type_index: int, every: int = 10,
-                                  viscosity_ratio: Optional[float] = None):
+                                  viscosity_ratio: Optional[float] = None,
+                                  entire_every: int = 0):
         """Per-node omega raised inside this type's membranes (reference:
-        viscosityRatio material XML + interiorViscosity timescales)."""
+        viscosityRatio material XML + interiorViscosity timescales).
+
+        ``every`` = the cheap membrane-normal sweep cadence
+        (<interiorViscosity>); ``entire_every`` = the full raycast cadence
+        (<interiorViscosityEntireGrid>, e.g. 1000) — 0 raycasts at
+        ``every`` with no cheap sweep."""
         from .cells.interior import interior_tau
 
         ct = self.cell_types[type_index]
@@ -297,6 +314,7 @@ class HemoCell:
             viscosity_ratio = ct.material_cfg.get("viscosityRatio", float, 5.0)
         ct.omega_interior = 1.0 / interior_tau(viscosity_ratio, self.params.tau)
         self.interior_every = int(every)
+        self.interior_entire_every = int(entire_every)
         self._dirty = True
 
     def enable_solidify(self, type_index: int, every: int = 10,
@@ -430,6 +448,7 @@ class HemoCell:
             boundary_mask=bmask,
             dtype=self.dtype,
             interior_every=self.interior_every,
+            interior_entire_every=self.interior_entire_every,
             solidify_every=self.solidify_every,
             cepac_tau=self.cepac_tau,
             cepac_dirichlet_mask=getattr(self, "_cepac_mask", None),
@@ -804,6 +823,25 @@ class HemoCell:
 
         if self.outdir is None:
             raise RuntimeError("call set_output_dir first")
+        # reference writeOutput performance line (core/hemoCell.cpp:223-233):
+        # s/iteration measured by the profiler's iterate scope since the
+        # previous output
+        it_timer = self.profiler.root.children.get("iterate")
+        elapsed = it_timer.total if it_timer is not None else 0.0
+        last_el = getattr(self, "_last_output_elapsed", 0.0)
+        last_at = getattr(self, "_last_output_at", 0)
+        tpi = (
+            (elapsed - last_el) / (self.iter - last_at)
+            if self.iter > last_at
+            else 0.0
+        )
+        self._last_output_elapsed = elapsed
+        self._last_output_at = self.iter
+        print(
+            f"(HemoCell) (Output) writing output at timestep {self.iter} "
+            f"({self.params.dt * self.iter:g} s). Approx. performance: "
+            f"{tpi:.6f} s / iteration."
+        )
         if fluid_fields is None:
             # honor setFluidOutputs selection (reference
             # desiredFluidOutputVariables, core/hemoCellFields.h)
@@ -1045,6 +1083,215 @@ class HemoCell:
         w = getattr(self, "_writer", None)
         if w is not None:
             w.flush()
+
+    def profile_phases(self, n: int = 20, repeats: int = 3):
+        """Reference-style per-phase breakdown of the coupled step
+        (helper/profiler.cpp:138-180 wraps every iterate phase in a timer).
+
+        The production step is ONE fused jit program, and jax.profiler
+        tracing hangs through the remote-chip tunnel — so each phase is
+        re-run STANDALONE in its own jitted fori_loop with a chained carry
+        and wall-clock timed (best of ``repeats``); phases that run at a
+        cadence (material/particle/repulsion timescales) are amortised by
+        it.  'other' is the full step minus the listed phases: particle
+        advance, integration, flag/halo machinery.
+
+        Returns {phase: s/iteration} and prints the table."""
+        import time as _time
+
+        import jax as _jax
+
+        from .dynamics import pick_fold
+        from .fluid.pallas_lbm import fold_field, stream_collide_pallas
+        from .ibm.pallas_ibm import (
+            build_ibm_plan,
+            pallas_interp,
+            pallas_spread,
+            slab_capacity,
+        )
+
+        if self._dirty or self._runner is None:
+            self._build()
+        cfg = self._step_cfg
+        st = self.state
+        shape = tuple(int(s) for s in self.shape)
+        on_tpu = jax.default_backend() == "tpu"
+
+        def timeit(fn):
+            _jax.block_until_ready(fn())  # compile + warm
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                _jax.block_until_ready(fn())
+                best = min(best, _time.perf_counter() - t0)
+            return best / n
+
+        results = {}
+        results["total (iterate)"] = timeit(lambda: self._runner(st, n))
+
+        # ---- collideAndStream (the fluid kernel, hemoCell.cpp:317) ----
+        fold = pick_fold(cfg)
+        bf = jnp.zeros(3, self.dtype) if cfg.body_force is None else (
+            jnp.asarray(cfg.body_force, self.dtype)
+        )
+        force0 = jnp.zeros((3,) + shape, self.dtype) + bf[:, None, None, None]
+        flags_d = jnp.asarray(cfg.flags)
+        f0, force_c, flags_c = st.f, force0, flags_d
+        bc_c = cfg.bc_velocity
+        if on_tpu and fold > 1:
+            f0 = fold_field(f0, fold)
+            force_c = fold_field(force_c, fold)
+            flags_c = fold_field(flags_c, fold)
+            if bc_c is not None:
+                bc_c = fold_field(bc_c, fold)
+
+        if on_tpu:
+            def _fluid_step(f):
+                return stream_collide_pallas(
+                    f, force_c, cfg.omega, flags_c, bc_c, fold=fold
+                )
+        else:
+            def _fluid_step(f):
+                return lbm.stream_collide(
+                    f, force_c, cfg.omega, flags_d, cfg.bc_velocity
+                )
+
+        @_jax.jit
+        def floop(f):
+            return _jax.lax.fori_loop(0, n, lambda i, ff: _fluid_step(ff), f)
+
+        results["collideAndStream"] = timeit(lambda: floop(f0))
+
+        # ---- particle phases -----------------------------------------
+        pos_parts = [cs.pos.reshape(-1, 3) for cs in st.cells
+                     if cs.pos.shape[0]]
+        if pos_parts:
+            pos_flat = jnp.concatenate(pos_parts)
+            P0 = pos_flat.shape[0]
+            P_pad = -(-P0 // 512) * 512
+            pos_pad = jnp.pad(pos_flat, ((0, P_pad - P0), (0, 0)),
+                              constant_values=0.5)
+            fshape = jnp.asarray(shape, self.dtype)
+            pos_w = jnp.mod(pos_pad, fshape[None, :])
+            fdep = jnp.pad(
+                jnp.concatenate(
+                    [cs.force.reshape(-1, 3) for cs in st.cells
+                     if cs.pos.shape[0]]
+                ),
+                ((0, P_pad - P0), (0, 0)),
+            )
+            cap = slab_capacity(P_pad, shape[0])
+            has_b = bool(np.asarray(cfg.flags).any())
+            mask3 = (
+                (jnp.asarray(cfg.flags) == 0).astype(self.dtype)
+                if has_b else None
+            )
+
+            # spreadParticleForce: slab sort + MXU one-hot deposit
+            @_jax.jit
+            def sloop(p):
+                def body(i, pp):
+                    plan = build_ibm_plan(pp, shape, cap, payload=fdep)
+                    field, _ = pallas_spread(
+                        pp, fdep, shape, capacity=cap, mask=mask3,
+                        plan=plan, mm=getattr(self, "ibm_mm", "f32"),
+                    )
+                    return pp + field[0, 0, 0, 0] * 1e-30
+                return _jax.lax.fori_loop(0, n, body, p)
+
+            results["spreadParticleForce"] = timeit(lambda: sloop(pos_w))
+
+            # interpolateFluidVelocity (every particle_every)
+            force_z = jnp.zeros((3,) + shape, self.dtype)
+            _, u0 = lbm.macroscopic(st.f, force_z)
+
+            @_jax.jit
+            def iloop(p):
+                def body(i, pp):
+                    vals, _ = pallas_interp(
+                        pp, u0, shape, capacity=cap,
+                        mm=getattr(self, "ibm_mm", "f32"),
+                    )
+                    return pp + vals[0, 0] * 1e-30
+                return _jax.lax.fori_loop(0, n, body, p)
+
+            results["interpolateFluidVelocity"] = (
+                timeit(lambda: iloop(pos_w)) / max(1, self.particle_every)
+            )
+
+            # applyConstitutiveModel (every material_every, per type)
+            mech_total = 0.0
+            for k, ct in enumerate(self.cell_types):
+                cs = st.cells[k]
+                if cs.pos.shape[0] == 0:
+                    continue
+                model = MODEL_REGISTRY[ct.model_name]
+                topo, mat = ct.topo_dev, ct.material
+
+                @_jax.jit
+                def mloop(p, model=model, topo=topo, mat=mat, v=cs.vel):
+                    def body(i, pp):
+                        ft = _jax.vmap(
+                            lambda a, b: model(a, b, topo, mat).total
+                        )(pp, v)
+                        return pp + ft * 1e-30
+                    return _jax.lax.fori_loop(0, n, body, p)
+
+                every = max(1, self._step_cfg.types[k].material_every)
+                mech_total += timeit(lambda: mloop(cs.pos)) / every
+            results["applyConstitutiveModel"] = mech_total
+
+            # applyRepulsionForce (every repulsion_every)
+            if self.repulsion_constant > 0.0:
+                from .cells.pallas_repulsion import pallas_repulsion
+
+                gid = jnp.pad(
+                    jnp.concatenate([
+                        jnp.repeat(
+                            jnp.arange(cs.pos.shape[0], dtype=jnp.int32),
+                            cs.pos.shape[1],
+                        )
+                        for cs in st.cells if cs.pos.shape[0]
+                    ]),
+                    (0, P_pad - P0), constant_values=-1,
+                )
+                act = jnp.pad(
+                    jnp.concatenate([
+                        jnp.repeat(
+                            cs.alive.astype(self.dtype), cs.pos.shape[1]
+                        )
+                        for cs in st.cells if cs.pos.shape[0]
+                    ]),
+                    (0, P_pad - P0),
+                )
+
+                @_jax.jit
+                def rloop(p):
+                    def body(i, pp):
+                        fr, _ = pallas_repulsion(
+                            pp, gid, act, shape,
+                            float(self.repulsion_constant),
+                            float(self.repulsion_cutoff),
+                        )
+                        return pp + fr * 1e-30
+                    return _jax.lax.fori_loop(0, n, body, p)
+
+                results["applyRepulsionForce"] = (
+                    timeit(lambda: rloop(pos_w))
+                    / max(1, getattr(self, "repulsion_every", 1))
+                )
+
+        listed = sum(v for k, v in results.items() if k != "total (iterate)")
+        results["other (advance/integrate/machinery)"] = max(
+            0.0, results["total (iterate)"] - listed
+        )
+
+        total = results["total (iterate)"]
+        print(f"{'phase':40s} {'ms/iter':>9s} {'%':>6s}")
+        for k, v in results.items():
+            pct = 100.0 * v / total if total > 0 else 0.0
+            print(f"{k:40s} {v * 1e3:9.3f} {pct:6.1f}")
+        return results
 
     def save_checkpoint(self, directory: Optional[str] = None):
         from .io import save_checkpoint

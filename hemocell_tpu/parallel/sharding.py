@@ -82,6 +82,7 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         bc_state=put(state.bc_state, lsh),
         body_force_state=put(state.body_force_state, rep),
         le_displacement=put(state.le_displacement, rep),
+        ibm_overflow=put(state.ibm_overflow, rep),
     )
 
 
@@ -142,6 +143,7 @@ def build_sharded_runner(cfg: StepConfig, mesh: Mesh):
             bc_state=spatial(state.bc_state),
             body_force_state=rep if state.body_force_state is not None else None,
             le_displacement=rep if state.le_displacement is not None else None,
+            ibm_overflow=rep if state.ibm_overflow is not None else None,
         )
 
     def run(state: SimState, n: int) -> SimState:

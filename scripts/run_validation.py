@@ -1,0 +1,159 @@
+"""Run the FULL validation oracles (the reference's CI-gating physics
+tests) on the current backend and print measured numbers:
+
+  1. stretch force-displacement bands at 25/75/125 pN, 10k iterations
+     (tests/validation/stretch_cell/test_stretch_cell.cpp:141-163,
+      doi:10.3389/fphys.2017.00563 Fig. 4);
+  2. pipeflow 1000-iteration apparent-viscosity + mean-force oracles
+     (tests/validation/pipeflow/test_pipeflow.cpp:91-106).
+
+Usage: python scripts/run_validation.py [--write VALIDATION.md]
+The numbers printed here are what VALIDATION.md records (date + platform).
+"""
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/examples")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+STRETCH_BANDS = [
+    # force_pn, transverse (lo, hi), axial (lo, hi) um — reference bounds
+    (25.0, 7.3, 7.9, 9.2, 9.7),
+    (75.0, 7.0, 7.5, 11.0, 12.0),
+    (125.0, 6.5, 7.0, 12.25, 12.75),
+]
+
+
+def run_stretch(results):
+    import pathlib
+    import tempfile
+
+    from test_integration import make_stretch_setup, _extents_um
+
+    for force_pn, t_lo, t_hi, a_lo, a_hi in STRETCH_BANDS:
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.perf_counter()
+            hc = make_stretch_setup(pathlib.Path(d), force_pn)
+            v0 = float(hc.cell_volumes(0)[0])
+            for _ in range(10):
+                hc.iterate(1000)
+            hc.block()
+            axial, transverse = _extents_um(hc)
+            v1 = float(hc.cell_volumes(0)[0])
+            dt = time.perf_counter() - t0
+            ok = (t_lo <= transverse <= t_hi) and (a_lo <= axial <= a_hi) \
+                and (0.98 < v1 / v0 <= 1.02)
+            results.append({
+                "case": f"stretch {force_pn:.0f} pN (10k iters)",
+                "measured": (
+                    f"axial {axial:.3f} um, transverse {transverse:.3f} um, "
+                    f"volume ratio {v1/v0:.4f}"
+                ),
+                "bounds": (
+                    f"axial [{a_lo}, {a_hi}], transverse [{t_lo}, {t_hi}], "
+                    f"volume (0.98, 1.02]"
+                ),
+                "ok": ok, "wall_s": dt,
+            })
+            print(results[-1], flush=True)
+
+
+def run_pipeflow(results):
+    from pipeflow import build_pipeflow
+
+    from hemocell_tpu.config.defaults import FLAG_FLUID
+
+    t0 = time.perf_counter()
+    hc = build_pipeflow("/root/reference/examples/pipeflow/config.xml")
+    n0 = sum(hc.alive_count(i) for i in range(len(hc.cell_types)))
+    hc.iterate(1000)
+    hc.block()
+    u = np.asarray(hc.fluid_velocity())
+    fluid = np.asarray(hc.flags) == FLAG_FLUID
+    umean = float(np.abs(u[0])[fluid].mean())
+    visc = (hc.params.u_lbm_max * 0.5) / umean
+    force = hc.mean_force_pn(0)
+    n1 = sum(hc.alive_count(i) for i in range(len(hc.cell_types)))
+    dt = time.perf_counter() - t0
+    ok = (1.03 < visc < 3.0) and (force < 4.0) and n1 == n0
+    results.append({
+        "case": "pipeflow (1000 iters)",
+        "measured": (
+            f"apparent viscosity {visc:.3f}, mean RBC force {force:.3f} pN, "
+            f"cells {n1}/{n0}"
+        ),
+        "bounds": "viscosity (1.03, 3.0), force < 4 pN, no cell lost",
+        "ok": ok, "wall_s": dt,
+    })
+    print(results[-1], flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", default=None,
+                    help="write/refresh a VALIDATION.md at this path")
+    args = ap.parse_args()
+
+    platform = jax.default_backend()
+    dev = str(jax.devices()[0])
+    print(f"platform={platform} device={dev}", flush=True)
+
+    results = []
+    run_stretch(results)
+    run_pipeflow(results)
+
+    n_fail = sum(not r["ok"] for r in results)
+    print(f"\n{len(results) - n_fail}/{len(results)} oracles passed")
+
+    if args.write:
+        date = datetime.date.today().isoformat()
+        lines = [
+            "# VALIDATION — full physics oracles, measured\n",
+            f"Run on **{date}**, platform **{platform}** (`{dev}`), f32,",
+            "single chip, via `python scripts/run_validation.py --write"
+            " VALIDATION.md`.",
+            "",
+            "These are the reference's CI-gating validation oracles"
+            " (tests/validation/) executed in full — 10,000 iterations per"
+            " stretch force, 1000 iterations of the voxelized pipeflow tube"
+            " — not the shortened CI smoke versions.",
+            "",
+            "| case | measured | reference bounds | pass | wall |",
+            "|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['case']} | {r['measured']} | {r['bounds']} | "
+                f"{'✅' if r['ok'] else '❌'} | {r['wall_s']:.0f} s |"
+            )
+        lines += [
+            "",
+            "Stretch bands: doi:10.3389/fphys.2017.00563 Fig. 4 via"
+            " reference test_stretch_cell.cpp:141-163; pipeflow oracles:"
+            " test_pipeflow.cpp:91-106.",
+            "The same tests run under pytest with `--run-slow`"
+            " (tests/test_integration.py::test_stretch_validation,"
+            " tests/test_pipeflow.py::test_pipeflow_validation).",
+        ]
+        with open(args.write, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {args.write}")
+
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

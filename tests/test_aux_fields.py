@@ -103,3 +103,89 @@ def test_dead_cells_excluded():
         interior_mask(pos, jnp.asarray(topo.triangles), alive, shape, 12)
     )
     assert not m.any()
+
+
+def test_membrane_omega_update_tracks_drift():
+    """The cheap membrane-normal sweep (reference
+    internalGridPointsMembrane, core/hemoCellParticleField.cpp:746-773)
+    applied after a small drift must reproduce a fresh full raycast: the
+    moving surface re-tags exactly the nodes it passes over."""
+    from hemocell_tpu.cells.interior import membrane_omega_update
+
+    mesh = icosphere(1280).scaled(5.0)
+    topo = build_topology(mesh)
+    tri = jnp.asarray(topo.triangles)
+    shape = (24, 24, 24)
+    alive = jnp.ones(1, bool)
+    om_bulk, om_int = 1.0, 0.3
+    edge_mean = float(np.linalg.norm(
+        mesh.vertices[topo.edges[:, 0]] - mesh.vertices[topo.edges[:, 1]],
+        axis=1,
+    ).mean())
+
+    pos0 = jnp.asarray(mesh.vertices + 12.0)[None]
+    m0 = interior_mask(pos0, tri, alive, shape, 16)
+    om0 = omega_field_from_mask(m0, om_bulk, om_int)
+
+    drift = jnp.asarray([0.3, 0.2, -0.25])
+    pos1 = pos0 + drift
+    om1 = membrane_omega_update(
+        om0, pos1, tri, alive, om_int, om_bulk, edge_mean, shape
+    )
+    om_ref = omega_field_from_mask(
+        interior_mask(pos1, tri, alive, shape, 16), om_bulk, om_int
+    )
+    diff = np.asarray(om1 != om_ref)
+    # agreement everywhere except surface-grazing nodes, where the
+    # vertex-tangent-plane test (the reference's scheme too) differs from
+    # exact ray parity by O(d^2 / 2R) curvature
+    assert diff.mean() < 1e-3, f"{diff.sum()} nodes differ"
+    centre = np.array([12.0, 12.0, 12.0]) + np.asarray(drift)
+    for ij in np.argwhere(diff):
+        assert abs(np.linalg.norm(ij - centre) - 5.0) < 0.1, (
+            f"non-surface node {ij} mis-tagged"
+        )
+    # interior core and far exterior certainly match
+    assert float(om1[12, 12, 12]) == pytest.approx(om_int)
+    assert float(om1[0, 0, 0]) == pytest.approx(om_bulk)
+
+
+def test_interior_entire_timescale_wired():
+    """interior_entire_every runs the raycast rarely and the membrane
+    sweep in between; the two-timescale field still tracks the membrane."""
+    import dataclasses
+
+    from hemocell_tpu.cells.state import make_cell_state
+    from hemocell_tpu.dynamics import (
+        StepConfig,
+        TypeConfig,
+        build_runner,
+        initial_sim_state,
+    )
+    from hemocell_tpu.mechanics import MODEL_REGISTRY, topology_device_arrays
+    from hemocell_tpu.presets import default_params, rbc_material
+
+    params = default_params()
+    mesh2 = icosphere(320).scaled(3.0)
+    topo2 = build_topology(mesh2)
+    cells = make_cell_state((mesh2.vertices + 12.0)[None])
+    tc = TypeConfig(
+        name="RBC", model_fn=MODEL_REGISTRY["NoOp"],
+        topo=topology_device_arrays(topo2),
+        material=rbc_material(params, mesh2.num_triangles),
+        omega_interior=0.4, interior_box=16,
+    )
+    cfg = StepConfig(
+        shape=(24, 24, 24), flags=jnp.zeros((24, 24, 24), jnp.uint8),
+        omega=1.0, types=[tc], particle_every=1,
+        f_limit=params.f_limit, dtype=jnp.float32, use_pallas=False,
+        interior_every=2, interior_entire_every=8,
+    )
+    state = initial_sim_state(cfg, [cells])
+    assert state.omega_field is not None
+    out = build_runner(cfg)(state, 4)
+    om = np.asarray(out.omega_field)
+    assert om.min() == pytest.approx(0.4)
+    assert om.max() == pytest.approx(1.0)
+    # the interior tag follows the (nearly static) membrane
+    assert om[12, 12, 12] == pytest.approx(0.4)

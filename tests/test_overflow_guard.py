@@ -116,3 +116,26 @@ def test_iterate_falls_back_to_scatter(tmp_path):
     with pytest.warns(UserWarning, match="overflow"):
         hc2.flush_overflow_guard()
     assert hc2.spread_mode == "scatter"
+
+
+def test_profile_phases_smoke(tmp_path):
+    """profile_phases emits the reference-style per-phase table
+    (helper/profiler.cpp:138-180) with a positive total and the
+    collideAndStream phase present."""
+    from hemocell_tpu import HemoCell
+    from test_integration import CONFIG_XML, RBC_XML
+
+    (tmp_path / "config.xml").write_text(CONFIG_XML)
+    (tmp_path / "RBC.xml").write_text(RBC_XML)
+    (tmp_path / "RBC.pos").write_text("1\n12.0 6 6 0 0 0\n")
+    hc = HemoCell(str(tmp_path / "config.xml"))
+    hc.initialize_lattice(shape=(48, 24, 24))
+    hc.add_cell_type("RBC", "RbcHighOrderModel")
+    hc.load_particles()
+    assert hc.cell_states[0].pos.shape[0] == 1
+    res = hc.profile_phases(n=2, repeats=1)
+    assert res["total (iterate)"] > 0
+    for key in ("collideAndStream", "spreadParticleForce",
+                "interpolateFluidVelocity", "applyConstitutiveModel",
+                "other (advance/integrate/machinery)"):
+        assert key in res and res[key] >= 0

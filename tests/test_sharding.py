@@ -62,8 +62,36 @@ def test_shard_count_invariance():
 def test_mesh_2d():
     cfg, state, _ = _setup()
     mesh = make_mesh(8, axes=("x", "y"))
+    assert mesh.shape["x"] == 2 and mesh.shape["y"] == 4
     sstate = shard_state(state, mesh)
     run = build_sharded_runner(cfg, mesh)
     out = run(sstate, 1)
     jax.block_until_ready(out)
     assert int(out.it) == 1
+
+
+def test_mesh_2d_invariance():
+    """Physics identical on 1 device vs a 2x4 ('x','y') mesh, with walls
+    crossing the y-sharded axis (halo correctness on the second mesh
+    axis)."""
+    import dataclasses
+
+    cfg, state, _ = _setup()
+    flags = np.zeros(tuple(int(s) for s in cfg.shape), np.uint8)
+    flags[:, :, 0] = 1  # FLAG_WALL planes normal to z
+    flags[:, :, -1] = 1
+    cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags))
+
+    ref = build_runner(cfg)(state, 5)
+    mesh = make_mesh(8, axes=("x", "y"))
+    out = build_sharded_runner(cfg, mesh)(shard_state(state, mesh), 5)
+    np.testing.assert_allclose(
+        np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.cells[0].pos), np.asarray(ref.cells[0].pos),
+        rtol=0, atol=1e-5,
+    )
+    assert np.array_equal(
+        np.asarray(out.cells[0].alive), np.asarray(ref.cells[0].alive)
+    )
