@@ -1,9 +1,23 @@
 #!/usr/bin/env python3
-"""stretchCell CI sanity: analog of scripts/ci/stretchCell_sanity.sh —
-run the 125 pN optical-tweezers stretch for 4000 iterations and check
-max stretch <= 9.6 um... adjusted: the reference CI checks the transient at
-its own iteration counts; here we check the validated end-state bands on a
-shorter transient: axial within (8.5, 12.75) um and volume <= 100.1%.
+"""stretchCell CI sanity: mirror of the reference CI
+scripts/ci/stretchCell_sanity.sh + scripts/ci/config-stretchCell.xml —
+run the 137 pN optical-tweezers stretch (7 forced vertices per side, the
+stretchCell example's hardcoded ``n_forced_lsps = 1 + 6``) for 1000
+iterations and check, at every 100-iteration measurement, the reference's
+transient bounds:
+
+  * largest cell diameter (max pairwise vertex distance) <= 9.6 um;
+  * volume within [100%, 100.1%] of equilibrium;
+  * surface within the reference band, expressed relative to the
+    equilibrium mesh ([129.34, 133.04] um^2 around its ~130.2 um^2 eq ->
+    [99.3%, 102.2%]) — our icosphere triangulation differs from the
+    Palabos one at the 0.1% level (eq volume 81.05 vs 81.15 um^3), so the
+    absolute voxel-level bands are converted to percentage-of-equilibrium.
+
+The full validated force-displacement bands (12.25-12.75 um axial at
+125 pN after 10k iterations, test_stretch_cell.cpp:159-163) are the
+--run-slow validation suite (scripts/run_validation.py -> VALIDATION.md),
+not this transient CI check.
 
 Usage: python scripts/ci/stretchcell_sanity.py
 """
@@ -19,7 +33,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tests"))
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# Pin the platform WITHOUT querying the backend: jax.default_backend()
+# initializes the axon TPU plugin, and if the chip tunnel is down the init
+# blocks forever — CI must not hang on an infra outage.  Opt into the chip
+# explicitly with HEMO_CI_PLATFORM=tpu.
+if os.environ.get("HEMO_CI_PLATFORM", "cpu") != "tpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -35,23 +53,37 @@ def check(name, ok, detail=""):
 
 
 def main():
-    from test_integration import make_stretch_setup, _extents_um
+    from test_integration import make_stretch_setup
+
+    from hemocell_tpu.utils import cellinfo
 
     with tempfile.TemporaryDirectory() as d:
         import pathlib
 
-        hc = make_stretch_setup(pathlib.Path(d), 125.0)
+        # config-stretchCell.xml: 137 pN, dt = 0.5e-7 s (tau = 0.6)
+        hc = make_stretch_setup(pathlib.Path(d), 137.0, dt=0.5e-7)
+        to_um = hc.params.dx * 1e6
         v0 = float(hc.cell_volumes(0)[0])
-        hc.iterate(4000)
-        hc.block()
-        axial, transverse = _extents_um(hc)
-        v1 = float(hc.cell_volumes(0)[0])
+        tri = np.asarray(hc.cell_types[0].topo.triangles)
+        s0 = float(
+            cellinfo.areas(np.asarray(hc.state.cells[0].pos), tri)[0]
+        )
+        for it in range(100, 1001, 100):
+            hc.iterate(100)
+            hc.block()
+            pos = np.asarray(hc.state.cells[0].pos)
+            diam = float(cellinfo.stretch(pos)[0]) * to_um
+            vol = float(hc.cell_volumes(0)[0])
+            surf = float(cellinfo.areas(pos, tri)[0])
+            vol_pct = vol / v0 * 100.0
+            surf_pct = surf / s0 * 100.0
+            check(f"it {it:5d}: largest diameter <= 9.6 um",
+                  diam <= 9.6, f"({diam:.2f})")
+            check(f"it {it:5d}: volume in [100, 100.1]%",
+                  100.0 <= vol_pct <= 100.1, f"({vol_pct:.3f}%)")
+            check(f"it {it:5d}: surface in [99.3, 102.2]%",
+                  99.3 <= surf_pct <= 102.2, f"({surf_pct:.2f}%)")
         check("cell alive", hc.alive_count(0) == 1)
-        check("axial in (8.5, 12.75) um", 8.5 < axial <= 12.75,
-              f"({axial:.2f})")
-        check("transverse in (6.3, 7.9) um", 6.3 < transverse < 7.9,
-              f"({transverse:.2f})")
-        check("volume <= 100.1%", v1 / v0 <= 1.001, f"({v1 / v0 * 100:.2f}%)")
 
     print(f"\n{'ALL CHECKS PASSED' if FAIL == 0 else f'{FAIL} CHECKS FAILED'}")
     sys.exit(1 if FAIL else 0)

@@ -55,11 +55,16 @@ CONFIG_XML = textwrap.dedent(
 )
 
 
-def make_stretch_setup(tmp_path, force_pn, dtype=jnp.float32):
+def make_stretch_setup(tmp_path, force_pn, dtype=jnp.float32, dt=None):
     """Reproduce the reference stretch test setup (test_stretch_cell.cpp):
     26 x 13 x 13 um closed box, single RBC at (12, 6, 6) um rotated (90,0,0),
-    7 forced vertices per side."""
-    (tmp_path / "config.xml").write_text(CONFIG_XML)
+    7 forced vertices per side.  ``dt`` overrides the config's time step
+    (the reference CI config-stretchCell.xml uses 0.5e-7 vs the validation
+    test's 1e-7)."""
+    xml = CONFIG_XML if dt is None else CONFIG_XML.replace(
+        "<dt> 1e-7 </dt>", f"<dt> {dt:g} </dt>"
+    )
+    (tmp_path / "config.xml").write_text(xml)
     (tmp_path / "RBC.xml").write_text(RBC_XML)
     (tmp_path / "RBC.pos").write_text("1\n12.0 6 6 90 0 0\n")
 
