@@ -544,12 +544,23 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # ---- 3: fluid collide + stream ------------------------------------
         le_disp_new = state.le_displacement
         if cfg.lees_edwards_velocity is not None:
-            from .fluid.lees_edwards import le_stream_collide
+            use_pallas = cfg.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from .fluid.lees_edwards import le_stream_collide_pallas
 
-            f_new = le_stream_collide(
-                state.f, force_field, omega, state.le_displacement,
-                cfg.lees_edwards_velocity,
-            )
+                f_new = le_stream_collide_pallas(
+                    state.f, force_field, omega, state.le_displacement,
+                    cfg.lees_edwards_velocity,
+                )
+            else:
+                from .fluid.lees_edwards import le_stream_collide
+
+                f_new = le_stream_collide(
+                    state.f, force_field, omega, state.le_displacement,
+                    cfg.lees_edwards_velocity,
+                )
             # wrap by X: only disp mod X enters the image shift and the
             # particle mapping (le_w is an integer image count), and an
             # unbounded f32 accumulator loses precision over long shears

@@ -89,6 +89,57 @@ def le_stream_collide(f, force, omega, displacement, shear_velocity):
     return jnp.stack(outs, axis=0)
 
 
+def _corrected_planes(f, force, omega, displacement, shear_velocity):
+    """Post-collision z-boundary planes with the LE correction applied,
+    packed [2*19, X, Y] (top 0:19, bottom 19:38) for the Pallas kernel.
+
+    Collision is node-local, so colliding just the two boundary planes
+    (out of Z) costs ~2/Z of a full collide."""
+    dtype = f.dtype
+    Q, X, Y, Z = f.shape
+    flags2 = jnp.zeros((X, Y, 2), jnp.uint8)
+    f2 = jnp.stack([f[:, :, :, Z - 1], f[:, :, :, 0]], axis=-1)
+    force2 = jnp.stack(
+        [force[:, :, :, Z - 1], force[:, :, :, 0]], axis=-1
+    )
+    post2 = collide(f2, force2, omega, flags2)
+    top, bot = post2[:, :, :, 0], post2[:, :, :, 1]
+
+    d = jnp.mod(displacement, X)
+    i0 = jnp.floor(d).astype(jnp.int32)
+    frac = (d - jnp.floor(d)).astype(dtype)
+
+    def sample(plane, sign):
+        a = jnp.roll(plane, -sign * i0, axis=1)
+        b = jnp.roll(plane, -sign * (i0 + 1), axis=1)
+        return (1.0 - frac) * a + frac * b
+
+    top_c = sample(top, +1)
+    top_c = top_c + _plane_eq_shift(top_c, (-shear_velocity, 0.0, 0.0), dtype)
+    bot_c = sample(bot, -1)
+    bot_c = bot_c + _plane_eq_shift(bot_c, (+shear_velocity, 0.0, 0.0), dtype)
+    return jnp.concatenate([top_c, bot_c], axis=0)
+
+
+def le_stream_collide_pallas(f, force, omega, displacement, shear_velocity,
+                             interpret=None):
+    """Fused-kernel LE step: the two corrected wrap planes are computed in
+    jnp (2/Z of a collide) and substituted inside the Pallas stream-collide
+    (pallas_lbm._kernel le_sub) — the full-field collide+stream runs at the
+    fused-kernel rate instead of the 19-roll jnp path."""
+    from .pallas_lbm import _pick_tx, stream_collide_pallas
+
+    Q, X, Y, Z = f.shape
+    if _pick_tx(X, Y, Z) == 0:  # planes too large for VMEM: jnp fallback
+        return le_stream_collide(f, force, omega, displacement,
+                                 shear_velocity)
+    planes = _corrected_planes(f, force, omega, displacement, shear_velocity)
+    return stream_collide_pallas(
+        f, force, omega, jnp.zeros((X, Y, Z), jnp.uint8),
+        le_planes=planes, interpret=interpret,
+    )
+
+
 def le_parameters(shear_rate_lbm: float, Z: int):
     """Relative image velocity and per-step displacement increment."""
     u_rel = shear_rate_lbm * Z

@@ -189,8 +189,16 @@ def _folded_pull(same, prev, cx, cz, Z, k):
     return jnp.where(hmask, pulled(prev), same_p)
 
 
-def _kernel(tx, has_bc, omega_is_field, bc_density, fold, *refs):
-    if has_bc and omega_is_field:
+def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le, *refs):
+    le_lo = le_body = le_hi = None
+    if has_le:
+        # LE is mutually exclusive with bc/omega-field (fully periodic
+        # shear box): refs = f x3, force x3, flags x3, le x3, omega, out
+        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
+         flags_lo, flags_body, flags_hi,
+         le_lo, le_body, le_hi, omega_ref, out) = refs
+        bc_lo = bc_body = bc_hi = None
+    elif has_bc and omega_is_field:
         (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
          flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi,
          bc_lo, bc_body, bc_hi, out) = refs
@@ -228,6 +236,35 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, *refs):
     post_b = region(f_body, force_body, flags_body, om_b, bc_body)
     post_l = region(f_lo, force_lo, flags_lo, om_l, bc_lo)
     post_h = region(f_hi, force_hi, flags_hi, om_h, bc_hi)
+
+    if has_le:
+        # Lees-Edwards: crossing populations re-enter through corrected
+        # planes (x-shifted sample + Galilean eq shift, computed by the
+        # caller); substitute them into the post-collision z-boundary
+        # lanes BEFORE the pull, exactly like lees_edwards.le_stream_collide
+        def le_sub(posts, le_ref):
+            le = le_ref[:]  # [38, rows, Y]: top planes 0:19, bottom 19:38
+            for q in range(19):
+                cz = int(_C[q, 2])
+                if cz == 0:
+                    continue
+                Zl = posts[q].shape[2]
+                lane_z = jax.lax.broadcasted_iota(
+                    jnp.int32, posts[q].shape, 2
+                )
+                if cz == 1:
+                    posts[q] = jnp.where(
+                        lane_z == Zl - 1, le[q][:, :, None], posts[q]
+                    )
+                else:
+                    posts[q] = jnp.where(
+                        lane_z == 0, le[19 + q][:, :, None], posts[q]
+                    )
+            return posts
+
+        post_b = le_sub(post_b, le_body)
+        post_l = le_sub(post_l, le_lo)
+        post_h = le_sub(post_h, le_hi)
 
     # pull: out[q, x] = post[q][x - cx]; Y/Z are full so periodic shift =
     # roll, applied per stored piece.
@@ -308,7 +345,7 @@ def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
 )
 def stream_collide_pallas(
     f, force, omega, flags, bc_velocity=None, tx=None, interpret=None,
-    bc_density=None, fold=1,
+    bc_density=None, fold=1, le_planes=None,
 ):
     """Drop-in fused replacement for lbm.stream_collide (single shard).
 
@@ -337,6 +374,13 @@ def stream_collide_pallas(
     omega_arr = jnp.asarray(omega, dtype)
     omega_is_field = omega_arr.ndim == 3
     has_bc = bc_velocity is not None
+    has_le = le_planes is not None
+    if has_le:
+        # LE shear box is fully periodic with scalar omega — the kernel
+        # supports le only in that configuration
+        assert not has_bc and not omega_is_field and bc_density is None \
+            and fold == 1, "Lees-Edwards requires plain periodic config"
+        assert le_planes.shape == (2 * Q, X, Y), le_planes.shape
 
     # --- specs: body block + 1-row halos with modular index maps ----------
     def body4(i):
@@ -377,6 +421,23 @@ def stream_collide_pallas(
     in_specs = f_specs + force_specs + flags_specs
     args = [f, f, f, force, force, force, flags_i, flags_i, flags_i]
 
+    if has_le:
+        # [2Q, X, Y] channel-leading maps (x is the middle axis)
+        def le_body(i):
+            return (0, i, 0)
+
+        def le_lo(i):
+            return (0, (i * tx - 1) % X, 0)
+
+        def le_hi(i):
+            return (0, ((i + 1) * tx) % X, 0)
+
+        in_specs += [
+            pl.BlockSpec((2 * Q, 1, Y), le_lo, memory_space=V),
+            pl.BlockSpec((2 * Q, tx, Y), le_body, memory_space=V),
+            pl.BlockSpec((2 * Q, 1, Y), le_hi, memory_space=V),
+        ]
+        args += [le_planes, le_planes, le_planes]
     if omega_is_field:
         in_specs += [
             pl.BlockSpec((1, Y, Z), lo3, memory_space=V),
@@ -400,7 +461,7 @@ def stream_collide_pallas(
     kernel = functools.partial(
         _kernel, tx, has_bc, omega_is_field,
         float(bc_density) if bc_density is not None else None,
-        int(fold),
+        int(fold), has_le,
     )
     flops_per_node = 350  # rough BGK+Guo cost for the scheduler
     return pl.pallas_call(

@@ -48,3 +48,24 @@ def test_le_reduces_to_periodic_at_zero_shear():
     a = le_stream_collide(f, force, 0.9, 0.0, 0.0)
     b = lbm.stream_collide(f, force, 0.9, flags)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+
+def test_le_pallas_matches_jnp():
+    """The fused-kernel LE path (corrected planes substituted inside the
+    Pallas stream-collide) is numerically identical to le_stream_collide."""
+    from hemocell_tpu.fluid.lees_edwards import le_stream_collide_pallas
+
+    X, Y, Z = 16, 8, 8
+    key = jax.random.PRNGKey(1)
+    f = jax.random.uniform(key, (19, X, Y, Z), jnp.float32, -1e-3, 1e-3)
+    force = jnp.zeros((3, X, Y, Z), jnp.float32).at[0].set(1e-6)
+    omega, U = 1.1, 0.02
+    a = b = f
+    disp = 0.0
+    for _ in range(5):
+        a = le_stream_collide(a, force, omega, disp, U)
+        b = le_stream_collide_pallas(b, force, omega, disp, U,
+                                     interpret=True)
+        disp += U
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
