@@ -601,10 +601,18 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
         cepac_new = state.cepac
         if cfg.cepac_tau is not None and state.cepac is not None:
-            from .fluid.advection_diffusion import ad_stream_collide
+            from .fluid.advection_diffusion import (
+                ad_stream_collide,
+                ad_stream_collide_pallas,
+            )
 
+            use_pallas_ad = cfg.use_pallas
+            if use_pallas_ad is None:
+                use_pallas_ad = jax.default_backend() == "tpu"
             _, u_ad = lbm.macroscopic(f_new, force_field)
-            cepac_new = ad_stream_collide(
+            ad_fn = ad_stream_collide_pallas if use_pallas_ad \
+                else ad_stream_collide
+            cepac_new = ad_fn(
                 state.cepac, u_ad, cfg.cepac_tau,
                 cfg.cepac_dirichlet_mask, cfg.cepac_dirichlet_value,
             )

@@ -189,3 +189,36 @@ def test_interior_entire_timescale_wired():
     assert om.max() == pytest.approx(1.0)
     # the interior tag follows the (nearly static) membrane
     assert om[12, 12, 12] == pytest.approx(0.4)
+
+
+def test_ad_pallas_matches_jnp():
+    """The fused Pallas CEPAC kernel is numerically identical to
+    ad_stream_collide, with and without Dirichlet nodes."""
+    from hemocell_tpu.fluid.advection_diffusion import (
+        ad_initial_state,
+        ad_stream_collide,
+        ad_stream_collide_pallas,
+    )
+
+    X, Y, Z = 16, 8, 8
+    g = ad_initial_state((X, Y, Z), 1.0) + jax.random.uniform(
+        jax.random.PRNGKey(0), (19, X, Y, Z), jnp.float32, -1e-3, 1e-3
+    )
+    u = jax.random.uniform(
+        jax.random.PRNGKey(1), (3, X, Y, Z), jnp.float32, -0.02, 0.02
+    )
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (X, Y, Z)) > 0.9
+            ).astype(jnp.uint8)
+    val = jnp.full((X, Y, Z), 2.0, jnp.float32)
+    for bc in (False, True):
+        a = b = g
+        for _ in range(4):
+            a = ad_stream_collide(
+                a, u, 0.7, mask if bc else None, val if bc else None
+            )
+            b = ad_stream_collide_pallas(
+                b, u, 0.7, mask if bc else None, val if bc else None,
+                interpret=True,
+            )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
