@@ -695,6 +695,16 @@ class HemoCell:
         self.particle_every = int(timescale)
         self._dirty = True
 
+    def setInteriorViscosityTimeScaleSeperation(  # sic (hemocell.h:167)
+            self, separation: int, separation_entire_grid: int):
+        """Reference: the ENTIRE-grid raycast runs at
+        ``separation_entire_grid`` (rare, e.g. 1000) and the cheap
+        membrane-normal sweep at ``separation`` (e.g. 10),
+        core/hemoCell.cpp:347-357."""
+        self.interior_every = int(separation)
+        self.interior_entire_every = int(separation_entire_grid)
+        self._dirty = True
+
     def setRepulsion(self, k_rep_si: float, cutoff_lu: float):
         self.enable_repulsion(k_rep_si / self.params.df, cutoff_lu)
 
