@@ -270,9 +270,23 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     cfg.boundary_repulsion_constant,
                     cfg.boundary_repulsion_cutoff,
                 )
-            fb = _every(it, cfg.boundary_repulsion_every, _brep, pos_flat,
-                        jnp.zeros_like(pos_flat))
-            frep = fb if frep is None else frep + fb
+            if cfg.repulsion_constant > 0.0:
+                # Inner recompute zeroes the carried force at its own
+                # timescale (reference applyRepulsionForce,
+                # hemoCellParticleField.cpp:703); boundary adds on top
+                # (applyBoundaryRepulsionForce:911 only accumulates).
+                fb = _every(it, cfg.boundary_repulsion_every, _brep,
+                            pos_flat, jnp.zeros_like(pos_flat))
+                frep = frep + fb
+            else:
+                # Boundary-only: nothing ever zeroes force_repulsion in
+                # the reference (zeroing lives exclusively in
+                # applyRepulsionForce, which never runs when inner
+                # repulsion is off), so its carried force grows without
+                # bound.  Deliberate deviation: the boundary recompute
+                # REPLACES the carried value at its timescale.
+                frep = _every(it, cfg.boundary_repulsion_every, _brep,
+                              pos_flat, carried_rep)
 
         # scatter repulsion back into per-type state
         if frep is not None:

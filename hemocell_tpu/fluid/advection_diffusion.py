@@ -74,6 +74,10 @@ def _ad_kernel(tx, tau_ad, has_bc, *refs):
         conc = g[0]
         for q in range(1, 19):
             conc = conc + g[q]
+        # hoist the Dirichlet operand reads out of the 19-population loop
+        # (one block load each instead of 19)
+        vbc = v_r[:] if m_r is not None else None
+        mbc = (m_r[:] > 0) if m_r is not None else None
         outs = []
         for q in range(19):
             cx, cy, cz = (int(v) for v in d3q19.C[q])
@@ -86,12 +90,11 @@ def _ad_kernel(tx, tau_ad, has_bc, *refs):
             geq = wq * conc if cu is None else wq * conc * (1.0 + 3.0 * cu)
             o = g[q] - inv_tau * (g[q] - geq)
             if m_r is not None:
-                vbc = v_r[:]
                 geq_bc = (
                     wq * vbc if cu is None
                     else wq * vbc * (1.0 + 3.0 * cu)
                 )
-                o = jnp.where(m_r[:] > 0, geq_bc, o)
+                o = jnp.where(mbc, geq_bc, o)
             outs.append(o)
         return outs
 

@@ -139,15 +139,20 @@ def collide(f, force, omega, flags, bc_velocity=None, bc_density=None):
         out = jnp.where((flags == FLAG_VELOCITY)[None], f_mb, out)
 
     if bc_density is not None:
-        # fixed-density node: replace with the equilibrium at the target
-        # density and the node's own (outflow) velocity — a first-order
-        # density-Dirichlet outlet.  (Anti-bounce-back with the local u was
-        # tried and is unstable next to velocity inlets: the 4.5(c.u)^2 term
-        # feeds back through the polluted boundary-node velocity.)
+        # fixed-density node, second order: keep the node's post-collision
+        # NON-EQUILIBRIUM part and shift only the equilibrium to the target
+        # density —  f' = f_bgk + w (rho0 - rho)(1 + 3c.u + 4.5(c.u)^2
+        # - 1.5u^2)  =  feq(rho0, u) + f^neq.  Density lands on rho0
+        # exactly (the polynomial sums to 1), velocity is preserved, and
+        # outlet-adjacent stress matches the reference's Zou-He
+        # ``addPressureBoundary`` at second order.  (Anti-bounce-back with
+        # the local u was tried and is unstable next to velocity inlets;
+        # the earlier pure-equilibrium variant discarded f^neq and was only
+        # first-order in the stress.)
         rho0 = jnp.asarray(bc_density, dtype)
         usq = jnp.sum(u * u, axis=0)[None]
-        f_pr = w_b * (
-            (rho0 - 1.0) + rho0 * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+        f_pr = f_bgk + w_b * (rho0 - rho[None]) * (
+            1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
         )
         out = jnp.where((flags == FLAG_PRESSURE)[None], f_pr, out)
     return out

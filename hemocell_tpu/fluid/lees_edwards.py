@@ -40,6 +40,31 @@ def _plane_eq_shift(f_plane, du, dtype):
     return equilibrium(rho, u_shift) - equilibrium(rho, u)
 
 
+def _le_correct(top, bot, displacement, shear_velocity, dtype):
+    """LE correction of the two post-collision wrap planes [19, X, Y].
+
+    Our z=0 receives upward-crossing populations from the top plane of the
+    image BELOW (displaced -d, moving -U relative to us): sample the top
+    plane at x + d and shift its equilibrium by -U.  Symmetrically, z=Z-1
+    receives from the bottom plane of the image ABOVE (+d, +U)."""
+    X = top.shape[1]
+    d = jnp.mod(displacement, X)
+    i0 = jnp.floor(d).astype(jnp.int32)
+    frac = (d - jnp.floor(d)).astype(dtype)
+
+    def sample(plane, sign):
+        """g(x) = plane(x + sign*d), periodic linear interpolation."""
+        a = jnp.roll(plane, -sign * i0, axis=1)
+        b = jnp.roll(plane, -sign * (i0 + 1), axis=1)
+        return (1.0 - frac) * a + frac * b
+
+    top_c = sample(top, +1)
+    top_c = top_c + _plane_eq_shift(top_c, (-shear_velocity, 0.0, 0.0), dtype)
+    bot_c = sample(bot, -1)
+    bot_c = bot_c + _plane_eq_shift(bot_c, (+shear_velocity, 0.0, 0.0), dtype)
+    return top_c, bot_c
+
+
 def le_stream_collide(f, force, omega, displacement, shear_velocity):
     """One LBM step with Lees-Edwards wrapping across the z faces.
 
@@ -52,26 +77,10 @@ def le_stream_collide(f, force, omega, displacement, shear_velocity):
     flags = jnp.zeros((X, Y, Z), jnp.uint8)
     post = collide(f, force, omega, flags)
 
-    d = jnp.mod(displacement, X)
-    i0 = jnp.floor(d).astype(jnp.int32)
-    frac = (d - jnp.floor(d)).astype(dtype)
-
-    def sample(plane, sign):
-        """g(x) = plane(x + sign*d), periodic linear interpolation."""
-        a = jnp.roll(plane, -sign * i0, axis=1)
-        b = jnp.roll(plane, -sign * (i0 + 1), axis=1)
-        return (1.0 - frac) * a + frac * b
-
-    # Our z=0 receives upward-crossing populations from the top plane of the
-    # image BELOW (displaced -d, moving -U relative to us): sample the top
-    # plane at x + d and shift its equilibrium by -U.  Symmetrically, z=Z-1
-    # receives from the bottom plane of the image ABOVE (+d, +U).
-    top = post[:, :, :, Z - 1]
-    bot = post[:, :, :, 0]
-    top_c = sample(top, +1)
-    top_c = top_c + _plane_eq_shift(top_c, (-shear_velocity, 0.0, 0.0), dtype)
-    bot_c = sample(bot, -1)
-    bot_c = bot_c + _plane_eq_shift(bot_c, (+shear_velocity, 0.0, 0.0), dtype)
+    top_c, bot_c = _le_correct(
+        post[:, :, :, Z - 1], post[:, :, :, 0],
+        displacement, shear_velocity, dtype,
+    )
 
     # streaming with corrected wrap: replace the wrapped plane before the
     # z-roll for each population with cz != 0
@@ -103,21 +112,10 @@ def _corrected_planes(f, force, omega, displacement, shear_velocity):
         [force[:, :, :, Z - 1], force[:, :, :, 0]], axis=-1
     )
     post2 = collide(f2, force2, omega, flags2)
-    top, bot = post2[:, :, :, 0], post2[:, :, :, 1]
-
-    d = jnp.mod(displacement, X)
-    i0 = jnp.floor(d).astype(jnp.int32)
-    frac = (d - jnp.floor(d)).astype(dtype)
-
-    def sample(plane, sign):
-        a = jnp.roll(plane, -sign * i0, axis=1)
-        b = jnp.roll(plane, -sign * (i0 + 1), axis=1)
-        return (1.0 - frac) * a + frac * b
-
-    top_c = sample(top, +1)
-    top_c = top_c + _plane_eq_shift(top_c, (-shear_velocity, 0.0, 0.0), dtype)
-    bot_c = sample(bot, -1)
-    bot_c = bot_c + _plane_eq_shift(bot_c, (+shear_velocity, 0.0, 0.0), dtype)
+    top_c, bot_c = _le_correct(
+        post2[:, :, :, 0], post2[:, :, :, 1],
+        displacement, shear_velocity, dtype,
+    )
     return jnp.concatenate([top_c, bot_c], axis=0)
 
 
@@ -130,7 +128,10 @@ def le_stream_collide_pallas(f, force, omega, displacement, shear_velocity,
     from .pallas_lbm import _pick_tx, stream_collide_pallas
 
     Q, X, Y, Z = f.shape
-    if _pick_tx(X, Y, Z) == 0:  # planes too large for VMEM: jnp fallback
+    # jnp fallback when planes don't fit VMEM, or with a spatially varying
+    # omega (interior viscosity): the fused kernel takes a scalar omega
+    # only, while le_stream_collide broadcasts an [X,Y,Z] field fine.
+    if _pick_tx(X, Y, Z) == 0 or jnp.ndim(omega) != 0:
         return le_stream_collide(f, force, omega, displacement,
                                  shear_velocity)
     planes = _corrected_planes(f, force, omega, displacement, shear_velocity)

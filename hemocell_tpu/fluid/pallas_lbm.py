@@ -116,15 +116,14 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
                 f_mb = f_bb + (6.0 * wq) * cu_w
             out = jnp.where(is_vel, f_mb, out)
         if bc_density is not None:
-            # fixed-density outlet: equilibrium at (rho0, local u) — see
-            # lbm.collide for why not anti-bounce-back
+            # fixed-density outlet, second order: feq(rho0, u) + f^neq —
+            # same formula as lbm.collide (see there for the derivation)
             r0 = bc_density
             if cu is None:
-                f_pr = wq * ((r0 - 1.0) - 1.5 * r0 * usq)
+                f_pr = f_bgk + wq * (r0 - rho) * (1.0 - 1.5 * usq)
             else:
-                f_pr = wq * (
-                    (r0 - 1.0)
-                    + r0 * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+                f_pr = f_bgk + wq * (r0 - rho) * (
+                    1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
                 )
             out = jnp.where(is_pres, f_pr, out)
         outs[q] = out

@@ -74,6 +74,9 @@ class CellType:
 
 class HemoCell:
     def __init__(self, config_path: Optional[str] = None, params: Optional[Parameters] = None):
+        from .utils.logfile import print_header
+
+        print_header()  # reference: printHeader() at HemoCell ctor
         self.cfg = Config(config_path) if config_path else None
         if params is not None:
             self.params = params
@@ -815,6 +818,12 @@ class HemoCell:
     def set_output_dir(self, path: str):
         self.outdir = path
         os.makedirs(path, exist_ok=True)
+        # versioned logfile under <outdir>/log (reference loadDirectories:
+        # tmp/log/logfile, logfile.1, ...)
+        from .utils.logfile import hlog
+
+        if hlog.path is None:
+            hlog.open(os.path.join(path, "log"))
 
     def write_output(self, fluid_fields=None,
                      si_units=False, async_io=False):
@@ -837,6 +846,13 @@ class HemoCell:
         # s/iteration measured by the profiler's iterate scope since the
         # previous output
         it_timer = self.profiler.root.children.get("iterate")
+        if it_timer is not None and self._state is not None:
+            # iterate() dispatches asynchronously (returns at enqueue);
+            # land the outstanding device work INSIDE the iterate scope so
+            # the performance line reports compute time, not enqueue time.
+            # No extra cost: the np.asarray reads below would block anyway.
+            with self.profiler("iterate"):
+                jax.block_until_ready(self._state)
         elapsed = it_timer.total if it_timer is not None else 0.0
         last_el = getattr(self, "_last_output_elapsed", 0.0)
         last_at = getattr(self, "_last_output_at", 0)
@@ -999,8 +1015,6 @@ class HemoCell:
             ]
             want_terms = [lbl for lbl, _ in term_labels if want(lbl)]
             if nca > 0 and want_terms:
-                import jax
-
                 from .mechanics import MODEL_REGISTRY
 
                 model = MODEL_REGISTRY[ct.model_name]

@@ -27,7 +27,9 @@ def save_checkpoint(directory: str, state: SimState, meta: dict | None = None):
     # loader given this file fails loudly with KeyError instead of silently
     # misreading deviations as raw populations (rho ~= 0).
     arrays = {"h": np.asarray(state.f), "it": np.asarray(state.it)}
-    for opt in ("cepac", "omega_field", "flags_state", "binding_mask", "bc_state", "body_force_state"):
+    for opt in ("cepac", "omega_field", "flags_state", "binding_mask",
+                "bc_state", "body_force_state", "le_displacement",
+                "ibm_overflow"):
         val = getattr(state, opt)
         if val is not None:
             arrays[opt] = np.asarray(val)
@@ -102,6 +104,14 @@ def load_checkpoint(directory: str, dtype=None):
         binding_mask = opt_load("binding_mask", floaty=False)
         bc_state = opt_load("bc_state")
         body_force_state = opt_load("body_force_state")
+        le_displacement = opt_load("le_displacement")
+        # Absent counter (pre-change checkpoint) restores as 0, not None:
+        # None would permanently disable the IBM window-overflow guard on
+        # the resumed run (build_step only carries the running max when
+        # the incoming state has the field).
+        ibm_overflow = opt_load("ibm_overflow", floaty=False)
+        if ibm_overflow is None:
+            ibm_overflow = jnp.asarray(0, jnp.int32)
     meta = None
     metapath = os.path.join(directory, "checkpoint.json")
     if os.path.exists(metapath):
@@ -113,6 +123,8 @@ def load_checkpoint(directory: str, dtype=None):
             omega_field=omega_field, flags_state=flags_state,
             binding_mask=binding_mask, bc_state=bc_state,
             body_force_state=body_force_state,
+            le_displacement=le_displacement,
+            ibm_overflow=ibm_overflow,
         ),
         meta,
     )

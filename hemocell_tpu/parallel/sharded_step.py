@@ -161,9 +161,16 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     cfg.boundary_repulsion_constant,
                     cfg.boundary_repulsion_cutoff,
                 )
-            fb = _every(it, cfg.boundary_repulsion_every, _brep, pos_flat,
-                        jnp.zeros_like(pos_flat))
-            frep = fb if frep is None else frep + fb
+            if cfg.repulsion_constant > 0.0:
+                fb = _every(it, cfg.boundary_repulsion_every, _brep,
+                            pos_flat, jnp.zeros_like(pos_flat))
+                frep = frep + fb
+            else:
+                # Boundary-only: replace at the boundary timescale (see
+                # dynamics.py — the reference accumulates unboundedly
+                # here; deliberate deviation).
+                frep = _every(it, cfg.boundary_repulsion_every, _brep,
+                              pos_flat, carried_rep)
         if frep is not None:
             offset = 0
             for k, cs in enumerate(cells):

@@ -56,3 +56,28 @@ def log(*parts):
 
 def logfile_only(*parts):
     hlog.file_only(*parts)
+
+
+_header_printed = False
+
+
+def print_header():
+    """Startup banner (reference: printHeader,
+    helper/genericFunctions.cpp:121-129) — original art, TPU edition.
+    Printed once per process."""
+    global _header_printed
+    if _header_printed:
+        return
+    _header_printed = True
+    from .. import __version__
+
+    for line in (
+        r" _                               _ _      _              ",
+        r"| |_  ___ _____ ___  ___ ___ _ _| | |    | |_ ___ _ _    ",
+        r"|   \/ -_)     / _ \/ __/ -_) | | | |  _ |  _| . | | |   ",
+        r"|_|_|\___|_|_|_\___/\__|\___|_|_|_|_| (_)|_| |  _|___|   ",
+        r"                                             |_|         ",
+        f"        hemocell_tpu v{__version__} (JAX/XLA/Pallas)",
+        "",
+    ):
+        hlog.log(line)

@@ -57,9 +57,7 @@ def run_variant(name, overrides=None, patch=None, no_cells=False):
     try:
         hc = build_pipeflow(CFG)
         if no_cells:
-            for cs in hc.cell_states:
-                cs_alive = jnp.zeros_like(cs.alive)
-                # zero cells entirely: rebuild with empty states
+            # zero cells entirely: rebuild with empty states
             hc.cell_states = [
                 cs._replace(
                     pos=cs.pos[:0], vel=cs.vel[:0], force=cs.force[:0],

@@ -195,3 +195,30 @@ def test_metrics_log(tmp_path):
     assert data.shape == (2, 5)
     assert data[1, 0] == 10
     plot_metrics(hc.outdir)  # smoke (skips silently without matplotlib)
+
+
+def test_checkpoint_carries_overflow_and_le(tmp_path):
+    """ibm_overflow and le_displacement must survive a checkpoint: losing
+    the counter silently disables the IBM overflow guard on resume, and
+    losing the displacement resets a Lees-Edwards run's image offset."""
+    import jax.numpy as jnp
+
+    cfg, state, _ = rbc_suspension(shape=(16, 16, 16), n_cells=1,
+                                   repulsion=False)
+    state = state._replace(
+        ibm_overflow=jnp.asarray(7, jnp.int32),
+        le_displacement=jnp.asarray(3.25, jnp.float32),
+    )
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state)
+    loaded, _ = load_checkpoint(d)
+    assert int(loaded.ibm_overflow) == 7
+    assert float(loaded.le_displacement) == 3.25
+    # pre-change checkpoint (fields absent): guard restores ARMED (0), not
+    # None — None would permanently disable the running-max update
+    state_old = state._replace(ibm_overflow=None, le_displacement=None)
+    d2 = str(tmp_path / "ckpt_old")
+    save_checkpoint(d2, state_old)
+    loaded2, _ = load_checkpoint(d2)
+    assert int(loaded2.ibm_overflow) == 0
+    assert loaded2.le_displacement is None

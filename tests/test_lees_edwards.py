@@ -69,3 +69,24 @@ def test_le_pallas_matches_jnp():
         disp += U
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_le_pallas_omega_field_falls_back():
+    """LE + interior viscosity (spatially varying omega): the fused kernel
+    takes a scalar omega only; the wrapper must fall back to the jnp path
+    instead of crashing at trace time."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hemocell_tpu.fluid.lees_edwards import (
+        le_stream_collide, le_stream_collide_pallas)
+
+    rng = np.random.default_rng(3)
+    X = Y = Z = 8
+    f = jnp.asarray(rng.normal(0, 1e-3, (19, X, Y, Z)), jnp.float32)
+    force = jnp.zeros((3, X, Y, Z), jnp.float32)
+    omega = jnp.full((X, Y, Z), 1.1, jnp.float32).at[:, :, :4].set(0.9)
+    disp = jnp.asarray(1.37, jnp.float32)
+    out_p = le_stream_collide_pallas(f, force, omega, disp, 0.02)
+    out_j = le_stream_collide(f, force, omega, disp, 0.02)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_j))

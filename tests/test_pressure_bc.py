@@ -1,4 +1,5 @@
-"""Fixed-density (anti-bounce-back) pressure outlet nodes.
+"""Fixed-density pressure outlet nodes (second-order non-equilibrium-
+retaining density Dirichlet: f' = feq(rho0, u) + f_neq).
 
 Reference counterpart: Zou-He pressure boundaries
 (cases/preinlet_shear/preinlet_shear.cpp:113-115 ``addPressureBoundary0P`` +
@@ -88,3 +89,30 @@ def test_pallas_matches_jnp():
         f, force, 1.0, flags, bc, tx=4, interpret=True, bc_density=1.0
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_outlet_is_second_order():
+    """The scheme is f' = feq(rho0, u) + f_neq: density lands on rho0
+    EXACTLY after collision, and the node's non-equilibrium part (stress)
+    is retained rather than discarded (the old first-order variant)."""
+    rng = np.random.default_rng(11)
+    shape = (4, 4, 8)
+    flags = np.zeros(shape, np.uint8)
+    flags[-1] = FLAG_PRESSURE
+    flags = jnp.asarray(flags)
+    # a perturbed state carrying genuine non-equilibrium
+    f = jnp.asarray(rng.normal(0, 1e-3, (19,) + shape), DT)
+    force = jnp.zeros((3,) + shape, DT)
+    rho0 = 1.002
+    # omega != 1: at omega=1 BGK fully relaxes f_neq and the two schemes
+    # coincide trivially
+    out = lbm.collide(f, force, 0.8, flags, bc_density=rho0)
+    # exact density at every outlet node (deviation storage: rho = 1+sum)
+    rho_out = 1.0 + np.asarray(out[:, -1]).sum(axis=0)
+    np.testing.assert_allclose(rho_out, rho0, atol=1e-12)
+    # non-equilibrium retained: out differs from the pure equilibrium at
+    # (rho0, u) by the post-collision f_neq, which is nonzero here
+    rho, u = lbm.macroscopic(f, force)
+    feq0 = lbm.equilibrium_dev(jnp.full_like(rho, rho0), u)
+    dneq = np.abs(np.asarray(out[:, -1]) - np.asarray(feq0[:, -1])).max()
+    assert dneq > 1e-6, "outlet discarded the non-equilibrium part"

@@ -87,3 +87,54 @@ def test_sharded_step_carries_repulsion():
     f2 = np.asarray(jnp.concatenate(
         [cs.force_repulsion.reshape(-1, 3) for cs in s2.cells]))
     np.testing.assert_array_equal(f2, f1)
+
+
+def _boundary_only_cfg(every=1):
+    """Boundary repulsion WITHOUT inner repulsion (repulsion_constant=0)."""
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, repulsion=False, spread_mode="scatter",
+    )
+    # every node is a "boundary neighbor": guarantees a nonzero force on
+    # every particle regardless of placement
+    bmask = jnp.ones(cfg.shape, jnp.uint8)
+    cfg = dataclasses.replace(
+        cfg,
+        boundary_repulsion_constant=1e-4,
+        boundary_repulsion_cutoff=1.0,
+        boundary_repulsion_every=every,
+        boundary_mask=bmask,
+    )
+    return cfg, state
+
+
+def test_boundary_only_repulsion_does_not_accumulate():
+    """With inner repulsion disabled nothing ever zeroes force_repulsion in
+    the reference (applyBoundaryRepulsionForce only adds,
+    core/hemoCellParticleField.cpp:911), so its force grows ~n per step —
+    a physical time bomb.  We deviate: the boundary recompute REPLACES the
+    carried value at its timescale, keeping the force bounded."""
+    cfg, state = _boundary_only_cfg(every=1)
+    run = build_runner(cfg)
+    s1 = run(state, 1)
+    f1 = np.asarray(jnp.concatenate(
+        [cs.force_repulsion.reshape(-1, 3) for cs in s1.cells]))
+    m1 = np.abs(f1).max()
+    assert m1 > 0
+    s5 = run(s1, 4)
+    f5 = np.asarray(jnp.concatenate(
+        [cs.force_repulsion.reshape(-1, 3) for cs in s5.cells]))
+    # accumulation would give ~5*m1 by step 5; replacement stays ~m1
+    assert np.abs(f5).max() < 2.0 * m1
+
+
+def test_boundary_only_repulsion_carried_on_off_steps():
+    cfg, state = _boundary_only_cfg(every=2)
+    run = build_runner(cfg)
+    s1 = run(state, 1)  # it=0 -> recompute
+    f1 = np.asarray(jnp.concatenate(
+        [cs.force_repulsion.reshape(-1, 3) for cs in s1.cells]))
+    assert np.abs(f1).max() > 0
+    s2 = run(s1, 1)  # it=1 -> off-step: carried
+    f2 = np.asarray(jnp.concatenate(
+        [cs.force_repulsion.reshape(-1, 3) for cs in s2.cells]))
+    np.testing.assert_array_equal(f2, f1)
