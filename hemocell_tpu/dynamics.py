@@ -300,7 +300,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 offset += cnt
 
         # ---- 2: spread particle forces + body force -----------------------
-        force_field = jnp.zeros((3,) + shape, dtype=cfg.dtype)
+        # force_field stays None while the force is a uniform [3] body
+        # force: the Pallas fluid kernel then takes it through SMEM instead
+        # of a [3,X,Y,Z] field — 3 fewer HBM channels (x3 halo re-reads)
+        # and VMEM headroom for a taller slab (_pick_tx).
+        force_field = None
+        bf_uniform = None  # uniform [3] body force while no field exists
         body_force = (
             state.body_force_state
             if state.body_force_state is not None
@@ -309,8 +314,18 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         if body_force is not None:
             bf = jnp.asarray(body_force, dtype=cfg.dtype)
             if bf.ndim == 1:
-                bf = bf[:, None, None, None]
-            force_field = force_field + bf
+                bf_uniform = bf
+            else:
+                force_field = jnp.zeros((3,) + shape, dtype=cfg.dtype) + bf
+
+        def _mat_force(field):
+            """Materialise the lazy force field before a non-uniform add."""
+            if field is not None:
+                return field
+            field = jnp.zeros((3,) + shape, dtype=cfg.dtype)
+            if bf_uniform is not None:
+                field = field + bf_uniform[:, None, None, None]
+            return field
 
         # One padded flat vertex batch for the whole IBM exchange: TPU
         # gathers need 128-aligned batches, and the binned dense spread
@@ -473,7 +488,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 )
                 if has_boundaries:
                     field = field * fluid_mask3[None]
-                force_field = force_field + field
+                force_field = _mat_force(force_field) + field
                 step_overflow = new_shadow.plan.overflow
             elif use_pallas_ibm:
                 fdep = ftot * act_pad[:, None]
@@ -487,7 +502,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 )
                 if has_boundaries:
                     field = field * fluid_mask3[None]
-                force_field = force_field + field
+                force_field = _mat_force(force_field) + field
                 step_overflow = ibm_plan.overflow
             elif mode == "binned":
                 from .ibm.fast_spread import binned_spread, slab_capacity
@@ -502,10 +517,10 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     pos_pad, fdep, shape, slab_capacity(P_pad, shape[0])
                 )
                 fluid_mask = (flags == 0).astype(cfg.dtype)
-                force_field = force_field + field * fluid_mask[None]
+                force_field = _mat_force(force_field) + field * fluid_mask[None]
                 step_overflow = ov_binned
             else:
-                force_field = force_field + coupling.spread(
+                force_field = _mat_force(force_field) + coupling.spread(
                     ftot, idx, w, shape, dtype=cfg.dtype
                 )
 
@@ -556,6 +571,16 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             omega = omega_field_new
 
         # ---- 3: fluid collide + stream ------------------------------------
+        # Pallas fast paths: keep the uniform body force in SMEM ([3] array;
+        # force_field is None) and drop the flags operand on all-fluid
+        # periodic boxes — fewer HBM channels and a taller _pick_tx slab.
+        force_arg = force_field if force_field is not None else bf_uniform
+        all_fluid = (
+            not has_boundaries
+            and not cfg.solidify_every
+            and bc_velocity is None
+            and cfg.bc_density is None
+        )
         le_disp_new = state.le_displacement
         if cfg.lees_edwards_velocity is not None:
             use_pallas = cfg.use_pallas
@@ -565,15 +590,15 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 from .fluid.lees_edwards import le_stream_collide_pallas
 
                 f_new = le_stream_collide_pallas(
-                    state.f, force_field, omega, state.le_displacement,
-                    cfg.lees_edwards_velocity,
+                    state.f, _mat_force(force_field), omega,
+                    state.le_displacement, cfg.lees_edwards_velocity,
                 )
             else:
                 from .fluid.lees_edwards import le_stream_collide
 
                 f_new = le_stream_collide(
-                    state.f, force_field, omega, state.le_displacement,
-                    cfg.lees_edwards_velocity,
+                    state.f, _mat_force(force_field), omega,
+                    state.le_displacement, cfg.lees_edwards_velocity,
                 )
             # wrap by X: only disp mod X enters the image shift and the
             # particle mapping (le_w is an integer image count), and an
@@ -591,10 +616,15 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     stream_collide_pallas,
                 )
 
-                force_field = fold_field(force_field, cfg.fold)
+                # keep force_field in the folded layout for the post-fluid
+                # macroscopic/stress consumers (f_new is folded)
+                if force_field is not None:
+                    force_field = fold_field(force_field, cfg.fold)
                 f_new = stream_collide_pallas(
-                    state.f, force_field, omega,
-                    fold_field(flags, cfg.fold),
+                    state.f,
+                    force_field if force_field is not None else force_arg,
+                    omega,
+                    None if all_fluid else fold_field(flags, cfg.fold),
                     fold_field(bc_velocity, cfg.fold)
                     if bc_velocity is not None else None,
                     bc_density=cfg.bc_density, fold=cfg.fold,
@@ -603,14 +633,20 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 from .fluid.pallas_lbm import stream_collide_pallas
 
                 f_new = stream_collide_pallas(
-                    state.f, force_field, omega, flags, bc_velocity,
+                    state.f, force_arg, omega,
+                    None if all_fluid else flags, bc_velocity,
                     bc_density=cfg.bc_density,
                 )
             else:
                 f_new = lbm.stream_collide(
-                    state.f, force_field, omega, flags, bc_velocity,
-                    bc_density=cfg.bc_density,
+                    state.f, _mat_force(force_field), omega, flags,
+                    bc_velocity, bc_density=cfg.bc_density,
                 )
+
+        # post-fluid consumers (CEPAC/interp macroscopic, Tresca stress)
+        # take the force as a broadcastable view when it stayed uniform
+        if force_field is None and bf_uniform is not None:
+            force_field = bf_uniform[:, None, None, None]
 
         # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
         cepac_new = state.cepac

@@ -54,7 +54,12 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     """BGK+Guo+masks on a [19, S, Y, Z] slab; same math as lbm.collide but
     fully unrolled with python-scalar lattice constants (Pallas kernels
     cannot capture device-array constants).  ``f`` holds deviation
-    populations h = f - w (see fluid/lbm.py docstring)."""
+    populations h = f - w (see fluid/lbm.py docstring).
+
+    ``force`` may be a [3, S, Y, Z] field, a 3-tuple of traced scalars
+    (uniform body force), or None (unforced: Guo terms skipped entirely).
+    ``flags`` may be None (all-fluid: wall/velocity/pressure masks skipped;
+    requires bc_velocity/bc_density to be None too)."""
     # macroscopic moments
     rho = f[0]
     for q in range(1, 19):
@@ -62,15 +67,19 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     rho = rho + 1.0
     mom = []
     for i in range(3):
-        mom.append(
-            _csum([(int(_C[q, i]), f[q]) for q in range(19) if _C[q, i] != 0])
-            + 0.5 * force[i]
+        m = _csum(
+            [(int(_C[q, i]), f[q]) for q in range(19) if _C[q, i] != 0]
         )
+        mom.append(m if force is None else m + 0.5 * force[i])
     inv_rho = 1.0 / rho
     u = [m * inv_rho for m in mom]
     usq = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
 
-    is_wall = flags == FLAG_WALL
+    if flags is None:
+        assert bc_velocity is None and bc_density is None
+        is_wall = None
+    else:
+        is_wall = flags == FLAG_WALL
     if bc_velocity is not None:
         is_vel = flags == FLAG_VELOCITY
     if bc_density is not None:
@@ -84,24 +93,32 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
         cu = _csum(
             [(c, u[i]) for i, c in enumerate((cx, cy, cz)) if c != 0]
         ) if (cx or cy or cz) else None
-        cF = _csum(
-            [(c, force[i]) for i, c in enumerate((cx, cy, cz)) if c != 0]
-        ) if (cx or cy or cz) else None
-        uF = u[0] * force[0] + u[1] * force[1] + u[2] * force[2]
+        if force is not None:
+            cF = _csum(
+                [(c, force[i]) for i, c in enumerate((cx, cy, cz)) if c != 0]
+            ) if (cx or cy or cz) else None
+            uF = u[0] * force[0] + u[1] * force[1] + u[2] * force[2]
         if cu is None:
             # deviation equilibrium: feq - w = w [(rho-1) - 1.5 rho usq]
             feq = wq * ((rho - 1.0) - 1.5 * rho * usq)
-            S = wq * (-3.0 * uF)
+            S = None if force is None else wq * (-3.0 * uF)
         else:
             feq = wq * (
                 (rho - 1.0)
                 + rho * (3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
             )
-            S = wq * (3.0 * (cF - uF) + 9.0 * cu * cF)
-        f_bgk = f[q] - omega * (f[q] - feq) + om_c * S
+            S = None if force is None else (
+                wq * (3.0 * (cF - uF) + 9.0 * cu * cF)
+            )
+        f_bgk = f[q] - omega * (f[q] - feq)
+        if S is not None:
+            f_bgk = f_bgk + om_c * S
 
-        f_bb = f[int(_OPP[q])]
-        out = jnp.where(is_wall, f_bb, f_bgk)
+        if is_wall is None:
+            out = f_bgk
+        else:
+            f_bb = f[int(_OPP[q])]
+            out = jnp.where(is_wall, f_bb, f_bgk)
         if bc_velocity is not None:
             if cu is None:
                 f_mb = f_bb
@@ -188,42 +205,57 @@ def _folded_pull(same, prev, cx, cz, Z, k):
     return jnp.where(hmask, pulled(prev), same_p)
 
 
-def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le, *refs):
+def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
+            force_mode, has_flags, *refs):
+    # operand order (see stream_collide_pallas): f x3, [force x3 if field],
+    # [flags x3], [le x3], [omega x3 if field], [bc x3], [omega SMEM if
+    # scalar], [force SMEM if uniform], out
+    cursor = [0]
+
+    def take(n):
+        r = refs[cursor[0] : cursor[0] + n]
+        cursor[0] += n
+        return r if n > 1 else r[0]
+
+    f_lo, f_body, f_hi = take(3)
+    force_lo = force_body = force_hi = None
+    if force_mode == "field":
+        force_lo, force_body, force_hi = take(3)
+    flags_lo = flags_body = flags_hi = None
+    if has_flags:
+        flags_lo, flags_body, flags_hi = take(3)
     le_lo = le_body = le_hi = None
     if has_le:
-        # LE is mutually exclusive with bc/omega-field (fully periodic
-        # shear box): refs = f x3, force x3, flags x3, le x3, omega, out
-        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
-         flags_lo, flags_body, flags_hi,
-         le_lo, le_body, le_hi, omega_ref, out) = refs
-        bc_lo = bc_body = bc_hi = None
-    elif has_bc and omega_is_field:
-        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
-         flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi,
-         bc_lo, bc_body, bc_hi, out) = refs
-    elif has_bc:
-        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
-         flags_lo, flags_body, flags_hi,
-         bc_lo, bc_body, bc_hi, omega_ref, out) = refs
-    elif omega_is_field:
-        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
-         flags_lo, flags_body, flags_hi, om_lo, om_body, om_hi, out) = refs
-        bc_lo = bc_body = bc_hi = None
+        le_lo, le_body, le_hi = take(3)
+    om_lo = om_body = om_hi = None
+    if omega_is_field:
+        om_lo, om_body, om_hi = take(3)
+    bc_lo = bc_body = bc_hi = None
+    if has_bc:
+        bc_lo, bc_body, bc_hi = take(3)
+    if not omega_is_field:
+        omega_ref = take(1)
+    if force_mode == "smem":
+        force_ref = take(1)
+    out = take(1)
+
+    if force_mode == "smem":
+        force_u = (force_ref[0], force_ref[1], force_ref[2])
     else:
-        (f_lo, f_body, f_hi, force_lo, force_body, force_hi,
-         flags_lo, flags_body, flags_hi, omega_ref, out) = refs
-        bc_lo = bc_body = bc_hi = None
-    if not has_bc:
-        bc_lo = bc_body = bc_hi = None
+        force_u = None
 
     # collide each region in place — no extended-slab concatenate (that
     # copy of the whole 19-population slab through VMEM cost ~25% of the
     # kernel); the halo rows are collided separately and the X-shift pull
     # becomes two sliced stores at the seam.
     def region(f_r, force_r, flags_r, om_r, bc_r):
+        if force_mode == "field":
+            frc = force_r[:]
+        else:
+            frc = force_u  # uniform tuple or None
         return _collide_local(
-            f_r[:], force_r[:],
-            om_r, flags_r[:],
+            f_r[:], frc,
+            om_r, flags_r[:] if flags_r is not None else None,
             bc_r[:] if bc_r is not None else None,
             bc_density,
         )
@@ -320,21 +352,33 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le, *refs):
             out[q, tx - 1 : tx] = rollyz(post_h[q])
 
 
-def _pick_tx(X, Y, Z, vmem_budget=10 * 2 ** 20):
-    """Largest divisor of X whose extended working set fits VMEM.
+def _pick_tx(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
+    """Largest divisor of X whose slab working set fits the VMEM budget.
+
+    Larger tx amortises the 2 halo rows each program re-reads (and
+    re-collides): f-traffic scales as (tx+2)/tx, so tx=1 is a 3x read
+    amplification and tx=4 is 1.5x — the dominant lever on the HBM-bound
+    roofline (docs/PERFORMANCE.md).  The model: in-blocks ((tx+2) rows of
+    ``c_in`` channels) and the out block (tx rows, 19 ch) are double-
+    buffered by the Mosaic pipeline; the 19 post-collision temporaries live
+    once.  The budget leaves ~half of the 100 MiB scoped VMEM for roll
+    temporaries and Mosaic overhead.
 
     Mosaic pads each block's trailing dims to the (8, 128) f32 tile, so the
-    estimate must use the padded Y/Z — a 24-lane Z costs 128 lanes of VMEM.
-    Returns 0 when even tx=1 cannot fit (huge Y*Z planes): callers fall back
-    to the unfused jnp path.
+    estimate uses the padded Y/Z — a 24-lane Z costs 128 lanes of VMEM.
+    Returns 0 when even tx=1 cannot fit (huge Y*Z planes): callers fall
+    back to the unfused jnp path.  ``c_in`` counts input channels per row:
+    19 f + 3 force field + 1 flags + 1 omega field + 3 bc at worst.
     """
     yp = -(-Y // 8) * 8
     zp = -(-Z // 128) * 128
-    # bytes per extended slab row: (19 f + 19 post + 3 force + 1 flags) * 4
-    per_row = (19 * 2 + 3 + 1 + 3) * yp * zp * 4
+    row = yp * zp * 4
     best = 0
     for tx in range(1, X + 1):
-        if X % tx == 0 and (tx + 2) * per_row < vmem_budget:
+        if X % tx:
+            continue
+        need = (2 * ((tx + 2) * c_in + tx * 19) + (tx + 2) * 19) * row
+        if need < vmem_budget:
             best = tx
     return best
 
@@ -351,29 +395,58 @@ def stream_collide_pallas(
     With ``fold`` > 1 every field operand is in the fold_field layout
     [.., X/fold, Y, fold*Z] and the result is returned folded too — the
     caller keeps the state folded across steps (fold/unfold costs a full
-    relayout pass, ~0.5 ms at 64^3)."""
+    relayout pass, ~0.5 ms at 64^3).
+
+    Fast paths: ``force`` may be a [3] array (spatially uniform body force,
+    passed through SMEM — no [3,X,Y,Z] field traffic) or None (unforced);
+    ``flags`` may be None (all-fluid periodic box: no flags traffic, no
+    mask selects).  Both cut HBM traffic and VMEM, letting _pick_tx choose
+    a taller slab."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     Q, X, Y, Z = f.shape
+    if force is not None and force.ndim == 1:
+        force_mode = "smem"
+    elif force is None:
+        force_mode = "none"
+    else:
+        force_mode = "field"
+    has_flags = flags is not None
+    if not has_flags:
+        assert bc_velocity is None and bc_density is None, (
+            "velocity/pressure BCs need a flags field"
+        )
+
+    dtype = f.dtype
+    omega_arr = jnp.asarray(omega, dtype)
+    omega_is_field = omega_arr.ndim == 3
+    has_bc = bc_velocity is not None
+    has_le = le_planes is not None
+
+    c_in = (19 + (3 if force_mode == "field" else 0) + (1 if has_flags else 0)
+            + (1 if omega_is_field else 0) + (3 if has_bc else 0))
     if tx is None:
-        tx = _pick_tx(X, Y, Z)
+        tx = _pick_tx(X, Y, Z, c_in)
     if tx == 0:
         # a single padded (Y, Z) plane row already overflows VMEM — run the
         # unfused jnp path (XLA tiles it through HBM) rather than OOM
         from . import lbm
 
         assert fold == 1, "folded layout requires the Pallas kernel"
-        return lbm.stream_collide(f, force, omega, flags, bc_velocity,
+        force_f = force
+        if force_mode == "smem":
+            force_f = jnp.broadcast_to(
+                force[:, None, None, None], (3, X, Y, Z)
+            )
+        elif force_mode == "none":
+            force_f = jnp.zeros((3, X, Y, Z), dtype)
+        flags_f = flags if has_flags else jnp.zeros((X, Y, Z), jnp.uint8)
+        return lbm.stream_collide(f, force_f, omega, flags_f, bc_velocity,
                                   bc_density)
     n = X // tx
     assert X % tx == 0, (X, tx)
 
-    dtype = f.dtype
-    flags_i = flags.astype(jnp.int32)
-    omega_arr = jnp.asarray(omega, dtype)
-    omega_is_field = omega_arr.ndim == 3
-    has_bc = bc_velocity is not None
-    has_le = le_planes is not None
+    flags_i = flags.astype(jnp.int32) if has_flags else None
     if has_le:
         # LE shear box is fully periodic with scalar omega — the kernel
         # supports le only in that configuration
@@ -406,19 +479,23 @@ def stream_collide_pallas(
         pl.BlockSpec((Q, tx, Y, Z), body4, memory_space=V),
         pl.BlockSpec((Q, 1, Y, Z), hi4, memory_space=V),
     ]
-    force_specs = [
-        pl.BlockSpec((3, 1, Y, Z), lo4, memory_space=V),
-        pl.BlockSpec((3, tx, Y, Z), body4, memory_space=V),
-        pl.BlockSpec((3, 1, Y, Z), hi4, memory_space=V),
-    ]
-    flags_specs = [
-        pl.BlockSpec((1, Y, Z), lo3, memory_space=V),
-        pl.BlockSpec((tx, Y, Z), body3, memory_space=V),
-        pl.BlockSpec((1, Y, Z), hi3, memory_space=V),
-    ]
 
-    in_specs = f_specs + force_specs + flags_specs
-    args = [f, f, f, force, force, force, flags_i, flags_i, flags_i]
+    in_specs = list(f_specs)
+    args = [f, f, f]
+    if force_mode == "field":
+        in_specs += [
+            pl.BlockSpec((3, 1, Y, Z), lo4, memory_space=V),
+            pl.BlockSpec((3, tx, Y, Z), body4, memory_space=V),
+            pl.BlockSpec((3, 1, Y, Z), hi4, memory_space=V),
+        ]
+        args += [force, force, force]
+    if has_flags:
+        in_specs += [
+            pl.BlockSpec((1, Y, Z), lo3, memory_space=V),
+            pl.BlockSpec((tx, Y, Z), body3, memory_space=V),
+            pl.BlockSpec((1, Y, Z), hi3, memory_space=V),
+        ]
+        args += [flags_i, flags_i, flags_i]
 
     if has_le:
         # [2Q, X, Y] channel-leading maps (x is the middle axis)
@@ -454,13 +531,16 @@ def stream_collide_pallas(
     if not omega_is_field:
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [omega_arr.reshape(1)]
+    if force_mode == "smem":
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [jnp.asarray(force, dtype)]
 
     out_spec = pl.BlockSpec((Q, tx, Y, Z), body4, memory_space=V)
 
     kernel = functools.partial(
         _kernel, tx, has_bc, omega_is_field,
         float(bc_density) if bc_density is not None else None,
-        int(fold), has_le,
+        int(fold), has_le, force_mode, has_flags,
     )
     flops_per_node = 350  # rough BGK+Guo cost for the scheduler
     return pl.pallas_call(
@@ -474,7 +554,7 @@ def stream_collide_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_node * X * Y * Z,
-            bytes_accessed=(19 * 2 + 3 + 1) * X * Y * Z * 4,
+            bytes_accessed=(c_in + 19) * X * Y * Z * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -24,15 +24,25 @@ from hemocell_tpu.fluid import lbm
 from hemocell_tpu.fluid.pallas_lbm import _pick_tx, stream_collide_pallas
 
 
-def bench_shape(shape, txs, n=50):
+def bench_shape(shape, txs, n=50, mode="field"):
+    """mode: 'field' = [3,X,Y,Z] force + flags operands (coupled-step
+    shape), 'uniform' = [3] SMEM force + no flags (fluid-only fast
+    path)."""
     X, Y, Z = shape
     key = jax.random.PRNGKey(0)
     f = jax.random.uniform(key, (19, X, Y, Z), jnp.float32, -1e-3, 1e-3)
-    force = jnp.zeros((3, X, Y, Z), jnp.float32)
-    flags = jnp.zeros((X, Y, Z), jnp.uint8)
+    if mode == "field":
+        force = jnp.zeros((3, X, Y, Z), jnp.float32)
+        flags = jnp.zeros((X, Y, Z), jnp.uint8)
+        c_in = 23
+    else:
+        force = jnp.asarray([1e-7, 0.0, 0.0], jnp.float32)
+        flags = None
+        c_in = 19
     omega = 1.1
     ref = None
-    print(f"shape={shape} default tx={_pick_tx(X, Y, Z)}", flush=True)
+    print(f"shape={shape} mode={mode} default tx="
+          f"{_pick_tx(X, Y, Z, c_in)}", flush=True)
     for tx in txs:
         if X % tx:
             continue
@@ -60,7 +70,7 @@ def bench_shape(shape, txs, n=50):
             jax.block_until_ready(loop(f))
             best = min(best, time.perf_counter() - t0)
         mlups = X * Y * Z * n / best / 1e6
-        gbs = mlups * 1e6 * (19 * 2 + 3 + 1) * 4 / 1e9
+        gbs = mlups * 1e6 * (19 + c_in) * 4 / 1e9
         print(f"  tx={tx:4d}  {mlups:8.1f} MLUPS  ~{gbs:5.0f} GB/s eff",
               flush=True)
 
@@ -68,4 +78,6 @@ def bench_shape(shape, txs, n=50):
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()}", flush=True)
     bench_shape((128, 128, 128), [1, 2, 4, 8, 16, 32])
+    bench_shape((128, 128, 128), [1, 2, 4, 8, 16, 32], mode="uniform")
     bench_shape((256, 128, 128), [1, 2, 4, 8, 16, 32])
+    bench_shape((256, 128, 128), [1, 2, 4, 8, 16, 32], mode="uniform")

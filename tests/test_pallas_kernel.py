@@ -64,3 +64,46 @@ def test_mass_conservation_periodic():
         float(jnp.sum(out)), float(jnp.sum(f)),
         atol=1e-6 * f[0].size
     )
+
+
+def test_uniform_force_smem_modes():
+    """Uniform [3] force (SMEM), force=None, and flags=None fast paths all
+    bit-match the field-operand reference path (fewer HBM channels; see
+    docs/PERFORMANCE.md roofline)."""
+    f, _, flags, _ = _setup()
+    shape = f.shape[1:]
+    bf = jnp.asarray([1e-5, 2e-5, -1e-5], jnp.float32)
+    force_field = jnp.broadcast_to(bf[:, None, None, None], (3,) + shape)
+    ref = lbm.stream_collide(f, force_field, 1.1, flags)
+
+    out = stream_collide_pallas(f, bf, 1.1, flags, tx=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-7)
+
+    # all-fluid periodic box: no flags operand at all
+    flags0 = jnp.zeros(shape, jnp.uint8)
+    ref0 = lbm.stream_collide(f, force_field, 1.1, flags0)
+    out0 = stream_collide_pallas(f, bf, 1.1, None, tx=4)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0), atol=2e-7)
+
+    # unforced
+    refn = lbm.stream_collide(f, jnp.zeros_like(force_field), 1.1, flags0)
+    outn = stream_collide_pallas(f, None, 1.1, None, tx=4)
+    np.testing.assert_allclose(np.asarray(outn), np.asarray(refn), atol=2e-7)
+
+
+def test_uniform_force_folded():
+    from hemocell_tpu.fluid.pallas_lbm import fold_field, unfold_field
+
+    f, _, _, _ = _setup((16, 8, 8))
+    shape = f.shape[1:]
+    bf = jnp.asarray([1e-5, 0.0, -2e-5], jnp.float32)
+    force_field = jnp.broadcast_to(bf[:, None, None, None], (3,) + shape)
+    ref = lbm.stream_collide(
+        f, force_field, 1.05, jnp.zeros(shape, jnp.uint8)
+    )
+    k = 2
+    out = unfold_field(
+        stream_collide_pallas(fold_field(f, k), bf, 1.05, None, tx=4, fold=k),
+        k,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-7)
