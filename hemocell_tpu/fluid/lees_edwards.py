@@ -135,8 +135,10 @@ def le_stream_collide_pallas(f, force, omega, displacement, shear_velocity,
         return le_stream_collide(f, force, omega, displacement,
                                  shear_velocity)
     planes = _corrected_planes(f, force, omega, displacement, shear_velocity)
+    # flags=None: the LE shear box is all-fluid by construction, so the
+    # kernel skips the flags operand (one fewer HBM channel + its halos)
     return stream_collide_pallas(
-        f, force, omega, jnp.zeros((X, Y, Z), jnp.uint8),
+        f, force, omega, None,
         le_planes=planes, interpret=interpret,
     )
 

@@ -373,13 +373,19 @@ def _pick_tx(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
     yp = -(-Y // 8) * 8
     zp = -(-Z // 128) * 128
     row = yp * zp * 4
+
+    def need(tx):
+        return (2 * ((tx + 2) * c_in + tx * 19) + (tx + 2) * 19) * row
+
     best = 0
     for tx in range(1, X + 1):
-        if X % tx:
-            continue
-        need = (2 * ((tx + 2) * c_in + tx * 19) + (tx + 2) * 19) * row
-        if need < vmem_budget:
+        if X % tx == 0 and need(tx) < vmem_budget:
             best = tx
+    if best == 0 and need(1) < 96 * 2 ** 20:
+        # over the comfort budget but under the hard 100 MiB scoped-VMEM
+        # limit: a single-row slab still beats the unfused jnp fallback
+        # (e.g. 256^2 cross-sections in the weak-scaling shards)
+        best = 1
     return best
 
 

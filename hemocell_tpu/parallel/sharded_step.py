@@ -183,10 +183,21 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 offset += cnt
 
         # ---- 2: spread (shard-local Pallas + halo-row exchange) ---------
-        force_field = jnp.zeros((3, Xl, Y, Z), dtype=dtype)
+        # lazy force: a uniform body force stays a [3] SMEM operand of the
+        # fluid kernel (no field traffic, no force halo ppermute) until a
+        # spread contribution materialises a field (see dynamics.py)
+        force_field = None
+        bf_uniform = None
         if cfg.body_force is not None:
-            bf = jnp.asarray(cfg.body_force, dtype=dtype)
-            force_field = force_field + bf[:, None, None, None]
+            bf_uniform = jnp.asarray(cfg.body_force, dtype=dtype)
+
+        def _mat_force(fld):
+            if fld is not None:
+                return fld
+            fld = jnp.zeros((3, Xl, Y, Z), dtype=dtype)
+            if bf_uniform is not None:
+                fld = fld + bf_uniform[:, None, None, None]
+            return fld
 
         fluid_mask_l = (flags_l == FLAG_FLUID).astype(dtype)
         mask_halo = _row_from_right(fluid_mask_l[None], axis)
@@ -238,7 +249,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             field_l = field_ext[:, :Xl].at[:, 0].add(halo_from_left[:, 0])
             if has_boundaries:
                 field_l = field_l * fluid_mask_l[None]
-            force_field = force_field + field_l
+            force_field = _mat_force(force_field) + field_l
 
         # ---- 3: fluid stream-collide on the halo-extended block ---------
         fl, fr = (
@@ -246,16 +257,25 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             jax.lax.ppermute(state.f[:, :1], axis, perm=_bwd(axis)),
         )
         f_ext = jnp.concatenate([fl, state.f, fr], axis=1)
-        fo_l, fo_r = (
-            jax.lax.ppermute(force_field[:, -1:], axis, perm=_fwd(axis)),
-            jax.lax.ppermute(force_field[:, :1], axis, perm=_bwd(axis)),
-        )
-        force_ext = jnp.concatenate([fo_l, force_field, fo_r], axis=1)
-        flg_l, flg_r = (
-            jax.lax.ppermute(flags_l[None, -1:], axis, perm=_fwd(axis)),
-            jax.lax.ppermute(flags_l[None, :1], axis, perm=_bwd(axis)),
-        )
-        flags_ext = jnp.concatenate([flg_l[0], flags_l, flg_r[0]], axis=0)
+        if force_field is not None:
+            fo_l, fo_r = (
+                jax.lax.ppermute(force_field[:, -1:], axis, perm=_fwd(axis)),
+                jax.lax.ppermute(force_field[:, :1], axis, perm=_bwd(axis)),
+            )
+            force_ext = jnp.concatenate([fo_l, force_field, fo_r], axis=1)
+        else:
+            force_ext = bf_uniform  # [3] SMEM operand (or None): no
+            # field traffic and two ppermutes fewer
+        all_fluid = not has_boundaries and bc_l is None
+        flags_ext = None
+        if not all_fluid:
+            flg_l, flg_r = (
+                jax.lax.ppermute(flags_l[None, -1:], axis, perm=_fwd(axis)),
+                jax.lax.ppermute(flags_l[None, :1], axis, perm=_bwd(axis)),
+            )
+            flags_ext = jnp.concatenate(
+                [flg_l[0], flags_l, flg_r[0]], axis=0
+            )
         bc_ext = None
         if bc_l is not None:
             bc_hl, bc_hr = (
@@ -266,17 +286,32 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         om = jnp.asarray(cfg.omega, dtype)
         if use_pallas:
             f_out_ext = stream_collide_pallas(
-                f_ext, force_ext, om, flags_ext, bc_ext, tx=1
+                f_ext, force_ext, om, flags_ext, bc_ext
             )
         else:
+            force_j = force_ext
+            if force_j is None or force_j.ndim == 1:
+                force_j = jnp.broadcast_to(
+                    (force_j if force_j is not None
+                     else jnp.zeros(3, dtype))[:, None, None, None],
+                    (3, Xl + 2, Y, Z),
+                )
+            flags_j = (
+                flags_ext if flags_ext is not None
+                else jnp.zeros((Xl + 2, Y, Z), jnp.uint8)
+            )
             f_out_ext = lbm.stream_collide(
-                f_ext, force_ext, om, flags_ext, bc_ext
+                f_ext, force_j, om, flags_j, bc_ext
             )
         f_new = f_out_ext[:, 1:-1]
 
         # ---- 4: interpolate (owner shard + psum) -------------------------
         if pos_flat is not None:
-            _, u_l = lbm.macroscopic(f_new, force_field)
+            force_bc = force_field
+            if force_bc is None and bf_uniform is not None:
+                # broadcast view keeps the +F/2 Guo shift in u
+                force_bc = bf_uniform[:, None, None, None]
+            _, u_l = lbm.macroscopic(f_new, force_bc)
 
             def _interp(_unused):
                 if has_boundaries:
