@@ -95,3 +95,35 @@ def test_folded_coupled_step_matches():
         np.asarray(sk.cells[0].pos), np.asarray(s1.cells[0].pos),
         atol=1e-5,
     )
+
+
+def test_lazy_uniform_force_fluid_only_matches_jnp():
+    """No-cells + uniform body force: the pallas step takes the SMEM
+    uniform-force / no-flags fast path; the jnp step materialises a field.
+    Trajectories must match."""
+    from hemocell_tpu.dynamics import build_step
+    from hemocell_tpu.presets import rbc_suspension
+
+    cfg, state, _ = rbc_suspension(
+        shape=(16, 16, 32), n_cells=0, body_force=(1e-6, 2e-7, 0.0),
+        repulsion=False,
+    )
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    cfg_j = dataclasses.replace(cfg, use_pallas=False)
+    sp, sj = state, state
+    step_p, step_j = build_step(cfg_p), build_step(cfg_j)
+    for _ in range(3):
+        sp = step_p(sp)
+        sj = step_j(sj)
+    np.testing.assert_allclose(
+        np.asarray(sp.f), np.asarray(sj.f), atol=1e-6
+    )
+    # folded variant of the same fast path
+    cfg_k = dataclasses.replace(cfg, use_pallas=True, fold=2)
+    sk = state._replace(f=fold_field(state.f, 2))
+    step_k = build_step(cfg_k)
+    for _ in range(3):
+        sk = step_k(sk)
+    np.testing.assert_allclose(
+        np.asarray(unfold_field(sk.f, 2)), np.asarray(sj.f), atol=1e-6
+    )
