@@ -81,6 +81,8 @@ def main():
     tmax = args.tmax or cfg["sim"]["tmax"].read(int)
     tmeas = cfg["sim"].get("tmeas", int, 1000)
     tcheckpoint = cfg["sim"].get("tcheckpoint", int, 0)
+    # reference pipeflow.cpp:136,170-172: per-cell CSV at its own cadence
+    tcsv = cfg["sim"].get("tcsv", int, 0)
 
     counts = {ct.name: hc.alive_count(i) for i, ct in enumerate(hc.cell_types)}
     print(f"(pipeflow) cells loaded: {sum(counts.values())} {counts}")
@@ -96,9 +98,16 @@ def main():
 
     t_wall = time.time()
     while hc.iter < tmax:
-        n = min(tmeas, tmax - hc.iter)
+        n = min(tmeas - hc.iter % tmeas, tmax - hc.iter)
+        if tcsv:
+            n = min(n, tcsv - hc.iter % tcsv)
         hc.iterate(n)
         hc.block()
+        if tcsv and hc.iter % tcsv == 0 and hc.iter % tmeas != 0 \
+                and hc.outdir:
+            # CSV-only cadence between full outputs (pipeflow.cpp:170-172)
+            hc.write_csv()
+            continue
         u = np.asarray(hc.fluid_velocity())
         fluid_mask = np.asarray(hc.flags) == FLAG_FLUID
         umean = float(np.abs(u[0])[fluid_mask].mean())

@@ -206,10 +206,11 @@ def _folded_pull(same, prev, cx, cz, Z, k):
 
 
 def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
-            force_mode, has_flags, *refs):
+            force_mode, has_flags, has_halos, *refs):
     # operand order (see stream_collide_pallas): f x3, [force x3 if field],
-    # [flags x3], [le x3], [omega x3 if field], [bc x3], [omega SMEM if
-    # scalar], [force SMEM if uniform], out
+    # [flags x3], [le x3], [omega x3 if field], [bc x3], [halo rows x2 per
+    # present field if has_halos], [omega SMEM if scalar], [force SMEM if
+    # uniform], out
     cursor = [0]
 
     def take(n):
@@ -233,6 +234,33 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
     bc_lo = bc_body = bc_hi = None
     if has_bc:
         bc_lo, bc_body, bc_hi = take(3)
+    if has_halos:
+        # sharded (non-periodic) mode: the modular x-wrap of the lo/hi
+        # BlockSpecs is wrong exactly at the global edges of the local
+        # shard; the first/last program substitutes the ppermute'd
+        # neighbour rows passed as extra operands (the ICI analog of the
+        # reference envelope exchange, core/hemoCellFields.cpp:363-372).
+        first = pl.program_id(0) == 0
+        last = pl.program_id(0) == pl.num_programs(0) - 1
+
+        def sel(main_ref, halo_ref, cond):
+            return jnp.where(cond, halo_ref[:], main_ref[:])
+
+        hf_lo, hf_hi = take(2)
+        f_lo = sel(f_lo, hf_lo, first)
+        f_hi = sel(f_hi, hf_hi, last)
+        if force_mode == "field":
+            hfo_lo, hfo_hi = take(2)
+            force_lo = sel(force_lo, hfo_lo, first)
+            force_hi = sel(force_hi, hfo_hi, last)
+        if has_flags:
+            hfl_lo, hfl_hi = take(2)
+            flags_lo = sel(flags_lo, hfl_lo, first)
+            flags_hi = sel(flags_hi, hfl_hi, last)
+        if has_bc:
+            hbc_lo, hbc_hi = take(2)
+            bc_lo = sel(bc_lo, hbc_lo, first)
+            bc_hi = sel(bc_hi, hbc_hi, last)
     if not omega_is_field:
         omega_ref = take(1)
     if force_mode == "smem":
@@ -394,7 +422,7 @@ def _pick_tx(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
 )
 def stream_collide_pallas(
     f, force, omega, flags, bc_velocity=None, tx=None, interpret=None,
-    bc_density=None, fold=1, le_planes=None,
+    bc_density=None, fold=1, le_planes=None, halos=None,
 ):
     """Drop-in fused replacement for lbm.stream_collide (single shard).
 
@@ -407,7 +435,16 @@ def stream_collide_pallas(
     passed through SMEM — no [3,X,Y,Z] field traffic) or None (unforced);
     ``flags`` may be None (all-fluid periodic box: no flags traffic, no
     mask selects).  Both cut HBM traffic and VMEM, letting _pick_tx choose
-    a taller slab."""
+    a taller slab.
+
+    ``halos``: sharded mode — a dict with key 'f' (and 'force'/'flags'/'bc'
+    when those operands are fields) mapping to ``(lo_row, hi_row)`` pairs
+    (each shaped like one x-row of the operand).  The kernel then treats f
+    as a non-periodic local shard whose x-neighbour rows at the global
+    edges come from the given rows (ppermute'd from neighbour shards)
+    instead of the periodic wrap.  Replaces the old concatenate-extend
+    pattern: no [Q, X+2, ..] copy of f through HBM, and tx is no longer
+    pinned to 1 by the odd extended row count."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     Q, X, Y, Z = f.shape
@@ -428,6 +465,12 @@ def stream_collide_pallas(
     omega_is_field = omega_arr.ndim == 3
     has_bc = bc_velocity is not None
     has_le = le_planes is not None
+    has_halos = halos is not None
+    if has_halos:
+        assert fold == 1 and not has_le and not omega_is_field, (
+            "halo mode supports canonical layout with scalar omega"
+        )
+        assert "f" in halos, "halos requires the 'f' (lo, hi) row pair"
 
     c_in = (19 + (3 if force_mode == "field" else 0) + (1 if has_flags else 0)
             + (1 if omega_is_field else 0) + (3 if has_bc else 0))
@@ -439,6 +482,20 @@ def stream_collide_pallas(
         from . import lbm
 
         assert fold == 1, "folded layout requires the Pallas kernel"
+        if has_halos:
+            # halo mode via the extend-and-slice pattern the kernel avoids
+            def ext(a, key, ax):
+                lo, hi = halos[key]
+                return jnp.concatenate([lo, a, hi], axis=ax)
+
+            f = ext(f, "f", 1)
+            if force_mode == "field":
+                force = ext(force, "force", 1)
+            if has_flags:
+                flags = ext(flags, "flags", 0)
+            if has_bc:
+                bc_velocity = ext(bc_velocity, "bc", 1)
+            X = X + 2
         force_f = force
         if force_mode == "smem":
             force_f = jnp.broadcast_to(
@@ -447,8 +504,9 @@ def stream_collide_pallas(
         elif force_mode == "none":
             force_f = jnp.zeros((3, X, Y, Z), dtype)
         flags_f = flags if has_flags else jnp.zeros((X, Y, Z), jnp.uint8)
-        return lbm.stream_collide(f, force_f, omega, flags_f, bc_velocity,
-                                  bc_density)
+        out = lbm.stream_collide(f, force_f, omega, flags_f, bc_velocity,
+                                 bc_density)
+        return out[:, 1:-1] if has_halos else out
     n = X // tx
     assert X % tx == 0, (X, tx)
 
@@ -534,6 +592,34 @@ def stream_collide_pallas(
             pl.BlockSpec((3, 1, Y, Z), hi4, memory_space=V),
         ]
         args += [bc_velocity, bc_velocity, bc_velocity]
+    if has_halos:
+        def const4(i):
+            return (0, 0, 0, 0)
+
+        def const3(i):
+            return (0, 0, 0)
+
+        def add_halo(key, ch, spec_dims):
+            lo, hi = halos[key]
+            if spec_dims == 4:
+                assert lo.shape == (ch, 1, Y, Z), (key, lo.shape)
+                sp = pl.BlockSpec((ch, 1, Y, Z), const4, memory_space=V)
+            else:
+                assert lo.shape == (1, Y, Z), (key, lo.shape)
+                sp = pl.BlockSpec((1, Y, Z), const3, memory_space=V)
+            in_specs.extend([sp, sp])
+            return [lo, hi]
+
+        args += add_halo("f", Q, 4)
+        if force_mode == "field":
+            args += add_halo("force", 3, 4)
+        if has_flags:
+            lo, hi = halos["flags"]
+            halos = dict(halos)
+            halos["flags"] = (lo.astype(jnp.int32), hi.astype(jnp.int32))
+            args += add_halo("flags", 1, 3)
+        if has_bc:
+            args += add_halo("bc", 3, 4)
     if not omega_is_field:
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [omega_arr.reshape(1)]
@@ -546,7 +632,7 @@ def stream_collide_pallas(
     kernel = functools.partial(
         _kernel, tx, has_bc, omega_is_field,
         float(bc_density) if bc_density is not None else None,
-        int(fold), has_le, force_mode, has_flags,
+        int(fold), has_le, force_mode, has_flags, has_halos,
     )
     flops_per_node = 350  # rough BGK+Guo cost for the scheduler
     return pl.pallas_call(

@@ -49,24 +49,35 @@ def make_sharded_stream_collide(mesh: Mesh, flags, bc_velocity=None,
     def local_step(f_l, force_l, omega, flags_l, bc_l):
         fl_left, fl_right = _halo_exchange(f_l, axis)
         fo_left, fo_right = _halo_exchange(force_l, axis)
+        flg_left, flg_right = _halo_exchange(flags_l[None], axis)
+        bc_halo = None
+        if bc_l is not None:
+            bc_halo = _halo_exchange(bc_l, axis)
+        if use_pallas:
+            # halo rows ride as 1-row kernel operands: no [Q, Xl+2, ..]
+            # concatenate copy of f through HBM, and tx is free to tile
+            # the local block (the old extend pattern pinned tx=1)
+            halos = {
+                "f": (fl_left, fl_right),
+                "force": (fo_left, fo_right),
+                "flags": (flg_left[0], flg_right[0]),
+            }
+            if bc_halo is not None:
+                halos["bc"] = bc_halo
+            return stream_collide_pallas(
+                f_l, force_l, omega, flags_l, bc_l, halos=halos
+            )
         f_ext = jnp.concatenate([fl_left, f_l, fl_right], axis=1)
         force_ext = jnp.concatenate([fo_left, force_l, fo_right], axis=1)
-        flg_left, flg_right = _halo_exchange(flags_l[None], axis)
         flags_ext = jnp.concatenate(
             [flg_left[0], flags_l, flg_right[0]], axis=0
         )
         bc_ext = None
-        if bc_l is not None:
-            bc_left, bc_right = _halo_exchange(bc_l, axis)
-            bc_ext = jnp.concatenate([bc_left, bc_l, bc_right], axis=1)
-        if use_pallas:
-            out_ext = stream_collide_pallas(
-                f_ext, force_ext, omega, flags_ext, bc_ext, tx=1
-            )
-        else:
-            out_ext = lbm.stream_collide(
-                f_ext, force_ext, omega, flags_ext, bc_ext
-            )
+        if bc_halo is not None:
+            bc_ext = jnp.concatenate([bc_halo[0], bc_l, bc_halo[1]], axis=1)
+        out_ext = lbm.stream_collide(
+            f_ext, force_ext, omega, flags_ext, bc_ext
+        )
         return out_ext[:, 1:-1]
 
     in_specs = (fspec, fspec, P(), gspec, fspec if bc_velocity is not None else P())

@@ -746,6 +746,9 @@ class HemoCell:
     def writeOutput(self, *a, **kw):
         return self.write_output(*a, **kw)
 
+    def writeCellInfoCSV(self, *a, **kw):
+        return self.write_csv(*a, **kw)
+
     def saveCheckPoint(self, *a, **kw):
         return self.save_checkpoint(*a, **kw)
 
@@ -1061,6 +1064,35 @@ class HemoCell:
             self._writer.submit(_write_all)
         else:
             _write_all()
+
+    def write_csv(self):
+        """Per-cell CSV only, at its own cadence (reference apps call
+        writeCellInfo_CSV(hemocell) every ``tcsv`` iterations, separately
+        from the full writeOutput at ``tmeas`` — examples/pipeflow/
+        pipeflow.cpp:136,170-172)."""
+        from .io import write_cell_csv
+
+        if self.outdir is None:
+            raise RuntimeError("call set_output_dir first")
+        st = self.state
+        for k, ct in enumerate(self.cell_types):
+            cs = st.cells[k]
+            alive = np.asarray(cs.alive)
+            pos = np.asarray(cs.pos)[alive]
+            vel = np.asarray(cs.vel)[alive]
+            nca = pos.shape[0]
+            vols = np.asarray(self.cell_volumes(k))[alive]
+            areas = np.asarray(self.cell_areas(k))[alive]
+            centers = pos.mean(axis=1) if nca else pos.reshape(0, 3)
+            vels = vel.mean(axis=1) if nca else vel.reshape(0, 3)
+            ids = np.arange(len(alive))[alive]
+            rows = [
+                [centers[i, 0], centers[i, 1], centers[i, 2], areas[i],
+                 vols[i], 0, int(ids[i]), int(ids[i]),
+                 vels[i, 0], vels[i, 1], vels[i, 2]]
+                for i in range(nca)
+            ]
+            write_cell_csv(self.outdir, self.iter, ct.name, rows)
 
     def spread_force_field(self):
         """[3,X,Y,Z] IBM-spread particle force on the lattice, recomputed

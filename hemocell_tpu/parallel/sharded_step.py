@@ -251,59 +251,75 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 field_l = field_l * fluid_mask_l[None]
             force_field = _mat_force(force_field) + field_l
 
-        # ---- 3: fluid stream-collide on the halo-extended block ---------
+        # ---- 3: fluid stream-collide with ppermute'd x-halo rows ---------
         fl, fr = (
             jax.lax.ppermute(state.f[:, -1:], axis, perm=_fwd(axis)),
             jax.lax.ppermute(state.f[:, :1], axis, perm=_bwd(axis)),
         )
-        f_ext = jnp.concatenate([fl, state.f, fr], axis=1)
+        fo_halo = None
         if force_field is not None:
-            fo_l, fo_r = (
+            fo_halo = (
                 jax.lax.ppermute(force_field[:, -1:], axis, perm=_fwd(axis)),
                 jax.lax.ppermute(force_field[:, :1], axis, perm=_bwd(axis)),
             )
-            force_ext = jnp.concatenate([fo_l, force_field, fo_r], axis=1)
-        else:
-            force_ext = bf_uniform  # [3] SMEM operand (or None): no
-            # field traffic and two ppermutes fewer
         all_fluid = not has_boundaries and bc_l is None
-        flags_ext = None
+        flg_halo = None
         if not all_fluid:
-            flg_l, flg_r = (
-                jax.lax.ppermute(flags_l[None, -1:], axis, perm=_fwd(axis)),
-                jax.lax.ppermute(flags_l[None, :1], axis, perm=_bwd(axis)),
+            flg_halo = (
+                jax.lax.ppermute(flags_l[None, -1:], axis, perm=_fwd(axis))[0],
+                jax.lax.ppermute(flags_l[None, :1], axis, perm=_bwd(axis))[0],
             )
-            flags_ext = jnp.concatenate(
-                [flg_l[0], flags_l, flg_r[0]], axis=0
-            )
-        bc_ext = None
+        bc_halo = None
         if bc_l is not None:
-            bc_hl, bc_hr = (
+            bc_halo = (
                 jax.lax.ppermute(bc_l[:, -1:], axis, perm=_fwd(axis)),
                 jax.lax.ppermute(bc_l[:, :1], axis, perm=_bwd(axis)),
             )
-            bc_ext = jnp.concatenate([bc_hl, bc_l, bc_hr], axis=1)
         om = jnp.asarray(cfg.omega, dtype)
         if use_pallas:
-            f_out_ext = stream_collide_pallas(
-                f_ext, force_ext, om, flags_ext, bc_ext
+            # halo rows ride as 1-row kernel operands (no [Q, Xl+2, ..]
+            # concatenate copy of f, and _pick_tx tiles the local block
+            # instead of being pinned to the odd Xl+2 row count)
+            halos = {"f": (fl, fr)}
+            if fo_halo is not None:
+                halos["force"] = fo_halo
+            if flg_halo is not None:
+                halos["flags"] = flg_halo
+            if bc_halo is not None:
+                halos["bc"] = bc_halo
+            f_new = stream_collide_pallas(
+                state.f,
+                force_field if force_field is not None else bf_uniform,
+                om,
+                flags_l if not all_fluid else None,
+                bc_l,
+                halos=halos,
             )
         else:
-            force_j = force_ext
-            if force_j is None or force_j.ndim == 1:
+            f_ext = jnp.concatenate([fl, state.f, fr], axis=1)
+            if force_field is not None:
+                force_j = jnp.concatenate(
+                    [fo_halo[0], force_field, fo_halo[1]], axis=1
+                )
+            else:
                 force_j = jnp.broadcast_to(
-                    (force_j if force_j is not None
+                    (bf_uniform if bf_uniform is not None
                      else jnp.zeros(3, dtype))[:, None, None, None],
                     (3, Xl + 2, Y, Z),
                 )
             flags_j = (
-                flags_ext if flags_ext is not None
+                jnp.concatenate([flg_halo[0], flags_l, flg_halo[1]], axis=0)
+                if flg_halo is not None
                 else jnp.zeros((Xl + 2, Y, Z), jnp.uint8)
             )
+            bc_ext = None
+            if bc_halo is not None:
+                bc_ext = jnp.concatenate([bc_halo[0], bc_l, bc_halo[1]],
+                                         axis=1)
             f_out_ext = lbm.stream_collide(
                 f_ext, force_j, om, flags_j, bc_ext
             )
-        f_new = f_out_ext[:, 1:-1]
+            f_new = f_out_ext[:, 1:-1]
 
         # ---- 4: interpolate (owner shard + psum) -------------------------
         if pos_flat is not None:
@@ -311,9 +327,11 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             if force_bc is None and bf_uniform is not None:
                 # broadcast view keeps the +F/2 Guo shift in u
                 force_bc = bf_uniform[:, None, None, None]
-            _, u_l = lbm.macroscopic(f_new, force_bc)
 
             def _interp(_unused):
+                # inside _every: the full-field moment pass only runs on
+                # interp steps (same placement as dynamics.py _interp)
+                _, u_l = lbm.macroscopic(f_new, force_bc)
                 if has_boundaries:
                     um = u_l * fluid_mask_l[None]
                 else:

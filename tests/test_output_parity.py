@@ -119,3 +119,24 @@ def test_cepac_field_file(tmp_path):
     with h5py.File(path, "r") as f:
         conc = f["Density"][...]
     np.testing.assert_allclose(conc, 0.5, atol=1e-5)
+
+
+def test_write_csv_standalone(tmp_path):
+    """write_csv writes the per-cell CSV at its own cadence without the
+    full HDF5 output (reference writeCellInfo_CSV at tcsv,
+    examples/pipeflow/pipeflow.cpp:136,170-172)."""
+    hc = _mk(tmp_path)
+    hc.iterate(2)
+    hc.write_csv()
+    from hemocell_tpu.io.hdf5io import zero_pad
+
+    path = os.path.join(hc.outdir, "csv", f"RBC.{zero_pad(hc.iter)}.csv")
+    assert os.path.exists(path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == ("X,Y,Z,area,volume,atomic_block,cellId,baseCellId,"
+                        "velocity_x,velocity_y,velocity_z")
+    assert len(lines) == 2  # one cell
+    # no fluid HDF5 was written by the CSV-only call
+    assert not os.path.exists(_fluid_file(hc))
+    # camelCase alias
+    hc.writeCellInfoCSV()
