@@ -476,6 +476,27 @@ def stream_collide_pallas(
             + (1 if omega_is_field else 0) + (3 if has_bc else 0))
     if tx is None:
         tx = _pick_tx(X, Y, Z, c_in)
+        if (
+            tx <= 1
+            and fold == 1
+            and not has_le
+            and not has_halos
+            and not omega_is_field
+        ):
+            # giant (Y, Z) cross-section: single-row slabs re-read their 2
+            # halo rows (3x f-traffic) or don't fit at all — the 2-D
+            # (x, y)-tiled kernel cuts amplification to ~(1+2/t)^2
+            from .pallas_lbm_2d import pick_txy, stream_collide_pallas_2d
+
+            txy = pick_txy(X, Y, Z, c_in)
+            if txy[0] > 0 and (tx == 0 or
+                               (txy[0] + 2) * (txy[1] + 2)
+                               < 3.0 * txy[0] * txy[1]):
+                return stream_collide_pallas_2d(
+                    f, force, omega, flags, bc_velocity,
+                    tx=txy[0], ty=txy[1], interpret=interpret,
+                    bc_density=bc_density,
+                )
     if tx == 0:
         # a single padded (Y, Z) plane row already overflows VMEM — run the
         # unfused jnp path (XLA tiles it through HBM) rather than OOM
