@@ -50,7 +50,8 @@ def _csum(terms):
     return acc
 
 
-def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
+def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None,
+                   qs=None):
     """BGK+Guo+masks on a [19, S, Y, Z] slab; same math as lbm.collide but
     fully unrolled with python-scalar lattice constants (Pallas kernels
     cannot capture device-array constants).  ``f`` holds deviation
@@ -59,7 +60,12 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     ``force`` may be a [3, S, Y, Z] field, a 3-tuple of traced scalars
     (uniform body force), or None (unforced: Guo terms skipped entirely).
     ``flags`` may be None (all-fluid: wall/velocity/pressure masks skipped;
-    requires bc_velocity/bc_density to be None too)."""
+    requires bc_velocity/bc_density to be None too).
+
+    ``qs``: emit only these population indices (others return None) —
+    halo rows only feed the pull for the 5 directions that cross the slab
+    edge, so colliding the other 14 on them is wasted VPU work.  The
+    moments still read all 19 inputs (they must)."""
     # macroscopic moments
     rho = f[0]
     for q in range(1, 19):
@@ -88,6 +94,8 @@ def _collide_local(f, force, omega, flags, bc_velocity, bc_density=None):
     om_c = 1.0 - 0.5 * omega
     outs = [None] * 19
     for q in range(19):
+        if qs is not None and q not in qs:
+            continue
         cx, cy, cz = int(_C[q, 0]), int(_C[q, 1]), int(_C[q, 2])
         wq = float(_W[q])
         cu = _csum(
@@ -276,7 +284,7 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
     # copy of the whole 19-population slab through VMEM cost ~25% of the
     # kernel); the halo rows are collided separately and the X-shift pull
     # becomes two sliced stores at the seam.
-    def region(f_r, force_r, flags_r, om_r, bc_r):
+    def region(f_r, force_r, flags_r, om_r, bc_r, qs=None):
         if force_mode == "field":
             frc = force_r[:]
         else:
@@ -285,16 +293,21 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
             f_r[:], frc,
             om_r, flags_r[:] if flags_r is not None else None,
             bc_r[:] if bc_r is not None else None,
-            bc_density,
+            bc_density, qs=qs,
         )
 
     if omega_is_field:
         om_b, om_l, om_h = om_body[:], om_lo[:], om_hi[:]
     else:
         om_b = om_l = om_h = omega_ref[0]
+    # halo rows only feed the pull for the directions crossing the slab
+    # edge: cx=+1 pulls from the lo row, cx=-1 from the hi row — collide
+    # just those 5 per halo row (the other 14 are dead work)
+    qs_lo = frozenset(q for q in range(19) if int(_C[q, 0]) == 1)
+    qs_hi = frozenset(q for q in range(19) if int(_C[q, 0]) == -1)
     post_b = region(f_body, force_body, flags_body, om_b, bc_body)
-    post_l = region(f_lo, force_lo, flags_lo, om_l, bc_lo)
-    post_h = region(f_hi, force_hi, flags_hi, om_h, bc_hi)
+    post_l = region(f_lo, force_lo, flags_lo, om_l, bc_lo, qs=qs_lo)
+    post_h = region(f_hi, force_hi, flags_hi, om_h, bc_hi, qs=qs_hi)
 
     if has_le:
         # Lees-Edwards: crossing populations re-enter through corrected
@@ -305,7 +318,7 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
             le = le_ref[:]  # [38, rows, Y]: top planes 0:19, bottom 19:38
             for q in range(19):
                 cz = int(_C[q, 2])
-                if cz == 0:
+                if cz == 0 or posts[q] is None:
                     continue
                 Zl = posts[q].shape[2]
                 lane_z = jax.lax.broadcasted_iota(
@@ -480,12 +493,13 @@ def stream_collide_pallas(
             tx <= 1
             and fold == 1
             and not has_le
-            and not has_halos
             and not omega_is_field
         ):
             # giant (Y, Z) cross-section: single-row slabs re-read their 2
             # halo rows (3x f-traffic) or don't fit at all — the 2-D
             # (x, y)-tiled kernel cuts amplification to ~(1+2/t)^2
+            # (halo mode passes through: x-edges substitute the neighbour
+            # rows, y stays periodic)
             from .pallas_lbm_2d import pick_txy, stream_collide_pallas_2d
 
             txy = pick_txy(X, Y, Z, c_in)
@@ -495,7 +509,7 @@ def stream_collide_pallas(
                 return stream_collide_pallas_2d(
                     f, force, omega, flags, bc_velocity,
                     tx=txy[0], ty=txy[1], interpret=interpret,
-                    bc_density=bc_density,
+                    bc_density=bc_density, halos=halos,
                 )
     if tx == 0:
         # a single padded (Y, Z) plane row already overflows VMEM — run the

@@ -54,10 +54,13 @@ def _parts(c, t):
     return out
 
 
-def _kernel2d(tx, ty, has_bc, bc_density, force_mode, has_flags, *refs):
+def _kernel2d(tx, ty, has_bc, bc_density, force_mode, has_flags,
+              has_halos, *refs):
     # operand order: f x9, [force x9 if field], [flags x9], [bc x9],
-    # [omega SMEM], [force SMEM if uniform], out.  Region order within each
-    # group: (xr, yr) for xr in (lo, body, hi) for yr in (lo, body, hi).
+    # [halo pieces x6 per present field if has_halos], [omega SMEM],
+    # [force SMEM if uniform], out.  Region order within each group:
+    # (xr, yr) for xr in (lo, body, hi) for yr in (lo, body, hi); halo
+    # pieces follow the same (xr in (lo, hi), yr) order.
     cursor = [0]
 
     def take9():
@@ -68,10 +71,38 @@ def _kernel2d(tx, ty, has_bc, bc_density, force_mode, has_flags, *refs):
                 cursor[0] += 1
         return r
 
+    def take6():
+        r = {}
+        for xr in ("lo", "hi"):
+            for yr in _XR:
+                r[(xr, yr)] = refs[cursor[0]]
+                cursor[0] += 1
+        return r
+
     f_r = take9()
     force_r = take9() if force_mode == "field" else None
     flags_r = take9() if has_flags else None
     bc_r = take9() if has_bc else None
+    if has_halos:
+        # sharded (non-periodic x) mode: the first/last x-program's lo/hi
+        # pieces come from the ppermute'd neighbour row operands instead
+        # of the periodic x-wrap (see pallas_lbm halo mode); y stays
+        # periodic within the shard.
+        first = pl.program_id(0) == 0
+        last = pl.program_id(0) == pl.num_programs(0) - 1
+
+        def sub(main, halo):
+            for (xr, yr), h in halo.items():
+                cond = first if xr == "lo" else last
+                main[(xr, yr)] = jnp.where(cond, h[:], main[(xr, yr)][:])
+
+        sub(f_r, take6())
+        if force_mode == "field":
+            sub(force_r, take6())
+        if has_flags:
+            sub(flags_r, take6())
+        if has_bc:
+            sub(bc_r, take6())
     omega_ref = refs[cursor[0]]
     cursor[0] += 1
     if force_mode == "smem":
@@ -81,8 +112,20 @@ def _kernel2d(tx, ty, has_bc, bc_density, force_mode, has_flags, *refs):
     out = refs[-1]
 
     omega = omega_ref[0]
+
+    # each region only feeds the pull for the directions that cross into
+    # the body from its side: x-lo needs cx=+1, x-hi cx=-1, y likewise;
+    # corners therefore collide exactly 1 population, edges 5, body 19
+    def _match(r, c):
+        return (c == 1 if r == "lo" else c == -1 if r == "hi" else True)
+
     post = {}
     for key in f_r:
+        xr, yr = key
+        qs = frozenset(
+            q for q in range(19)
+            if _match(xr, int(_C[q, 0])) and _match(yr, int(_C[q, 1]))
+        )
         if force_mode == "field":
             frc = force_r[key][:]
         elif force_mode == "smem":
@@ -94,6 +137,7 @@ def _kernel2d(tx, ty, has_bc, bc_density, force_mode, has_flags, *refs):
             flags_r[key][:] if has_flags else None,
             bc_r[key][:] if has_bc else None,
             bc_density,
+            qs=None if key == ("body", "body") else qs,
         )
 
     for q in range(19):
@@ -156,11 +200,15 @@ def pick_txy(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
 )
 def stream_collide_pallas_2d(
     f, force, omega, flags, bc_velocity=None, tx=None, ty=None,
-    interpret=None, bc_density=None,
+    interpret=None, bc_density=None, halos=None,
 ):
     """2-D tiled drop-in for pallas_lbm.stream_collide_pallas (periodic,
     canonical layout, scalar omega).  ``force`` follows the same fast
-    paths: [3, X, Y, Z] field, [3] uniform (SMEM), or None."""
+    paths: [3, X, Y, Z] field, [3] uniform (SMEM), or None.
+
+    ``halos``: sharded mode, same contract as the 1-D kernel — a dict of
+    (lo_row, hi_row) x-neighbour rows per field operand; x becomes
+    non-periodic at the shard edges while y stays periodic."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     Q, X, Y, Z = f.shape
@@ -176,6 +224,9 @@ def stream_collide_pallas_2d(
             "velocity/pressure BCs need a flags field"
         )
     has_bc = bc_velocity is not None
+    has_halos = halos is not None
+    if has_halos:
+        assert "f" in halos, "halos requires the 'f' (lo, hi) row pair"
     dtype = f.dtype
     omega_arr = jnp.asarray(omega, dtype)
     assert omega_arr.ndim == 0, "2-D kernel supports scalar omega only"
@@ -236,6 +287,49 @@ def stream_collide_pallas_2d(
         s, a = add9(bc_velocity, 3)
         in_specs += s
         args += a
+    if has_halos:
+        # 6 pieces per field from the two [*, 1, Y, Z] neighbour rows:
+        # (lo|hi) x (y-lo, y-body, y-hi), y indexed with the same modular
+        # maps as the main operand's y regions
+        def add6(pair, ch):
+            lead = ch is not None
+
+            def mk(yr):
+                def m(i, j):
+                    yj = {"lo": lambda: (j * ty - 1) % Y,
+                          "body": lambda: j,
+                          "hi": lambda: ((j + 1) * ty) % Y}[yr]()
+                    return ((0, 0, yj, 0) if lead else (0, yj, 0))
+                return m
+
+            specs, ops = [], []
+            for row in pair:
+                for yr in _XR:
+                    by = ty if yr == "body" else 1
+                    shape = ((ch, 1, by, Z) if lead else (1, by, Z))
+                    specs.append(
+                        pl.BlockSpec(shape, mk(yr), memory_space=V)
+                    )
+                    ops.append(row)
+            return specs, ops
+
+        s, a = add6(halos["f"], Q)
+        in_specs += s
+        args += a
+        if force_mode == "field":
+            s, a = add6(halos["force"], 3)
+            in_specs += s
+            args += a
+        if has_flags:
+            flo, fhi = halos["flags"]
+            s, a = add6((flo.astype(jnp.int32), fhi.astype(jnp.int32)),
+                        None)
+            in_specs += s
+            args += a
+        if has_bc:
+            s, a = add6(halos["bc"], 3)
+            in_specs += s
+            args += a
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     args.append(omega_arr.reshape(1))
     if force_mode == "smem":
@@ -248,7 +342,7 @@ def stream_collide_pallas_2d(
     kernel = functools.partial(
         _kernel2d, tx, ty, has_bc,
         float(bc_density) if bc_density is not None else None,
-        force_mode, has_flags,
+        force_mode, has_flags, has_halos,
     )
     return pl.pallas_call(
         kernel,

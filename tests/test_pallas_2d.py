@@ -113,3 +113,83 @@ def test_auto_dispatch_giant_cross_section():
     out = stream_collide_pallas(f, bf, 0.9, None, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=ATOL)
+
+
+def _split_rows(arr, n, axis=1):
+    X = arr.shape[axis]
+    Xl = X // n
+    shards, halos = [], []
+    for i in range(n):
+        def sl(a, b):
+            s = [slice(None)] * arr.ndim
+            s[axis] = slice(a, b)
+            return arr[tuple(s)]
+        shards.append(sl(i * Xl, (i + 1) * Xl))
+        halos.append((sl((i * Xl - 1) % X, (i * Xl - 1) % X + 1),
+                      sl(((i + 1) * Xl) % X, ((i + 1) * Xl) % X + 1)))
+    return shards, halos
+
+
+def test_2d_halo_mode_matches_periodic():
+    """x-halo rows as operands (sharded weak-scaling config: 2-D tiles
+    within a shard, ppermute rows between shards)."""
+    shape = (16, 16, 16)
+    f, force = _rand(shape, key=4)
+    flags = np.zeros(shape, np.uint8)
+    flags[:, 0, :] = FLAG_WALL
+    flags = jnp.asarray(flags)
+    ref = stream_collide_pallas_2d(f, force, 0.9, flags, tx=4, ty=8,
+                                   interpret=True)
+    f_sh, f_h = _split_rows(f, 2)
+    fo_sh, fo_h = _split_rows(force, 2)
+    fl_sh, fl_h = _split_rows(flags, 2, axis=0)
+    outs = []
+    for i in range(2):
+        outs.append(stream_collide_pallas_2d(
+            f_sh[i], fo_sh[i], 0.9, fl_sh[i], tx=4, ty=8, interpret=True,
+            halos={"f": f_h[i], "force": fo_h[i], "flags": fl_h[i]},
+        ))
+    out = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=ATOL)
+
+
+def test_2d_halo_mode_uniform_force():
+    shape = (16, 16, 16)
+    f, _ = _rand(shape, key=5)
+    bf = jnp.asarray([1e-5, 0.0, 0.0], jnp.float32)
+    ref = stream_collide_pallas_2d(f, bf, 0.85, None, tx=8, ty=8,
+                                   interpret=True)
+    f_sh, f_h = _split_rows(f, 4)
+    outs = [
+        stream_collide_pallas_2d(
+            f_sh[i], bf, 0.85, None, tx=4, ty=8, interpret=True,
+            halos={"f": f_h[i]},
+        )
+        for i in range(4)
+    ]
+    out = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=ATOL)
+
+
+def test_1d_dispatch_forwards_halos():
+    """stream_collide_pallas with halos routes to the 2-D kernel when the
+    1-D pick degrades to a single row (giant cross-section shard)."""
+    shape = (4, 256, 384)
+    assert _pick_tx(*shape, c_in=19) <= 1
+    f, _ = _rand(shape, key=6)
+    bf = jnp.asarray([1e-5, 0.0, 0.0], jnp.float32)
+    # periodic global reference on the concatenated domain
+    big = jnp.concatenate([f, f], axis=1)  # two identical shards
+    ref = lbm.stream_collide(
+        big, jnp.broadcast_to(bf[:, None, None, None],
+                              (3, 8, 256, 384)),
+        0.9, jnp.zeros((8, 256, 384), jnp.uint8),
+    )
+    out = stream_collide_pallas(
+        f, bf, 0.9, None, interpret=True,
+        halos={"f": (f[:, -1:], f[:, :1])},
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, :4]),
+                               rtol=0, atol=ATOL)
