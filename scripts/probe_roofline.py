@@ -151,11 +151,17 @@ def bench(step, f, n, repeats=3):
     def loop(f0):
         return jax.lax.fori_loop(0, n, lambda i, ff: step(ff), f0)
 
-    jax.block_until_ready(loop(f))
+    # chain the state across repeats: the axon relay caches identical-input
+    # executions, so re-timing loop(f) with the same f returns instantly
+    # and reads as a bogus ~0 ms (the copy/collide rows of the original
+    # probe).  Feeding each repeat the previous output defeats the cache.
+    f = loop(f)
+    jax.block_until_ready(f)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(f))
+        f = loop(f)
+        jax.block_until_ready(f)
         best = min(best, time.perf_counter() - t0)
     return best / n
 
