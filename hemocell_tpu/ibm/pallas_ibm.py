@@ -271,10 +271,17 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
 
 
 def _pick_chunk(C, Y, Z, budget=4 * 2**20):
-    """Largest 512-multiple chunk whose one-hot working set fits budget."""
-    # plane-packed layout: Sy [Y,CH] + M3 [3Y,CH] + Szf [2Z,CH] + 2Z iota
+    """Largest 512-multiple chunk whose one-hot working set fits budget,
+    capped at 512 so the dynamic trip count tracks true slab occupancy.
+
+    The fori_loop trip count skips whole chunks past the occupied end of
+    the window, so chunk size sets the granularity of wasted MXU/VPU work:
+    with safety=4 windows the mean occupancy is ~C/4 columns, and a
+    budget-sized chunk (often == C) burns the full window regardless.  At
+    512 the per-chunk fixed cost (one-hot iotas, matmul setup) is already
+    amortised and waste drops to <=511 columns per window."""
     per = (Y + 3 * Y + 2 * Z + 2 * Z) * 4
-    ch = max(512, (budget // per) // 512 * 512)
+    ch = max(512, min((budget // per) // 512 * 512, 512))
     while C % ch:
         ch -= 512
     return max(ch, 512)
