@@ -434,7 +434,7 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
             out[q, tx - 1 : tx] = rollyz(post_h[q])
 
 
-def _pick_tx(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
+def _pick_tx(X, Y, Z, c_in=27, vmem_budget=64 * 2 ** 20):
     """Largest divisor of X whose slab working set fits the VMEM budget.
 
     Larger tx amortises the 2 halo rows each program re-reads (and
@@ -443,8 +443,11 @@ def _pick_tx(X, Y, Z, c_in=27, vmem_budget=48 * 2 ** 20):
     roofline (docs/PERFORMANCE.md).  The model: in-blocks ((tx+2) rows of
     ``c_in`` channels) and the out block (tx rows, 19 ch) are double-
     buffered by the Mosaic pipeline; the 19 post-collision temporaries live
-    once.  The budget leaves ~half of the 100 MiB scoped VMEM for roll
-    temporaries and Mosaic overhead.
+    once.  An on-chip sweep (scripts/probe_tx_sweep.py, v5e) located the
+    hard compile failure at need(tx) ~ 105 MiB in this model's units
+    (uniform tx=16 at 128^3 = 102 MiB compiles, field tx=16 = 111 MiB
+    does not); the 64 MiB budget keeps ~40% margin for roll temporaries
+    and Mosaic overhead while letting 128^3 shapes reach tx=8.
 
     Mosaic pads each block's trailing dims to the (8, 128) f32 tile, so the
     estimate uses the padded Y/Z — a 24-lane Z costs 128 lanes of VMEM.

@@ -64,10 +64,15 @@ def bench_shape(shape, txs, n=50, mode="field"):
         else:
             err = float(jnp.abs(out - ref).max())
             assert err < 1e-5, (tx, err)
+        # chain state across repeats: the axon relay caches identical-input
+        # executions (see scripts/probe_roofline.py), so re-timing loop(f)
+        # with the same f can return instantly and inflate MLUPS
+        ff = out
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(f))
+            ff = loop(ff)
+            jax.block_until_ready(ff)
             best = min(best, time.perf_counter() - t0)
         mlups = X * Y * Z * n / best / 1e6
         gbs = mlups * 1e6 * (19 + c_in) * 4 / 1e9
