@@ -1173,17 +1173,23 @@ class HemoCell:
         shape = tuple(int(s) for s in self.shape)
         on_tpu = jax.default_backend() == "tpu"
 
-        def timeit(fn):
-            _jax.block_until_ready(fn())  # compile + warm
+        def timeit(fn, x0):
+            # chain the carry across repeats: the axon relay caches
+            # identical-input executions (see scripts/probe_roofline.py),
+            # so re-timing fn(x0) with the same operand can return from
+            # cache and report a bogus near-zero time
+            x = fn(x0)
+            _jax.block_until_ready(x)  # compile + warm
             best = float("inf")
             for _ in range(repeats):
                 t0 = _time.perf_counter()
-                _jax.block_until_ready(fn())
+                x = fn(x)
+                _jax.block_until_ready(x)
                 best = min(best, _time.perf_counter() - t0)
             return best / n
 
         results = {}
-        results["total (iterate)"] = timeit(lambda: self._runner(st, n))
+        results["total (iterate)"] = timeit(lambda s: self._runner(s, n), st)
 
         # ---- collideAndStream (the fluid kernel, hemoCell.cpp:317) ----
         fold = pick_fold(cfg)
@@ -1216,7 +1222,7 @@ class HemoCell:
         def floop(f):
             return _jax.lax.fori_loop(0, n, lambda i, ff: _fluid_step(ff), f)
 
-        results["collideAndStream"] = timeit(lambda: floop(f0))
+        results["collideAndStream"] = timeit(floop, f0)
 
         # ---- particle phases -----------------------------------------
         pos_parts = [cs.pos.reshape(-1, 3) for cs in st.cells
@@ -1255,7 +1261,7 @@ class HemoCell:
                     return pp + field[0, 0, 0, 0] * 1e-30
                 return _jax.lax.fori_loop(0, n, body, p)
 
-            results["spreadParticleForce"] = timeit(lambda: sloop(pos_w))
+            results["spreadParticleForce"] = timeit(sloop, pos_w)
 
             # interpolateFluidVelocity (every particle_every)
             force_z = jnp.zeros((3,) + shape, self.dtype)
@@ -1272,7 +1278,7 @@ class HemoCell:
                 return _jax.lax.fori_loop(0, n, body, p)
 
             results["interpolateFluidVelocity"] = (
-                timeit(lambda: iloop(pos_w)) / max(1, self.particle_every)
+                timeit(iloop, pos_w) / max(1, self.particle_every)
             )
 
             # applyConstitutiveModel (every material_every, per type)
@@ -1294,7 +1300,7 @@ class HemoCell:
                     return _jax.lax.fori_loop(0, n, body, p)
 
                 every = max(1, self._step_cfg.types[k].material_every)
-                mech_total += timeit(lambda: mloop(cs.pos)) / every
+                mech_total += timeit(mloop, cs.pos) / every
             results["applyConstitutiveModel"] = mech_total
 
             # applyRepulsionForce (every repulsion_every)
@@ -1333,7 +1339,7 @@ class HemoCell:
                     return _jax.lax.fori_loop(0, n, body, p)
 
                 results["applyRepulsionForce"] = (
-                    timeit(lambda: rloop(pos_w))
+                    timeit(rloop, pos_w)
                     / max(1, getattr(self, "repulsion_every", 1))
                 )
 

@@ -232,17 +232,62 @@ def _window_bounds(starts_ref, s, X, M, E, C, CH):
     return al, nch
 
 
+def _prefetched_window(starts_ref, X, M, E, C, srcs, bufs, sems):
+    """Cross-program double-buffered window DMA.
+
+    The slab windows live in ANY/HBM space and were copied in-kernel with
+    an immediate wait — serialising ~C-column DMAs against compute on
+    every program (measured: >half the spread kernel at 128³/560k
+    vertices).  TPU grid programs run sequentially and scratch persists
+    across them, so program p instead waits on the copy started by p-1
+    and prefetches p+1's window into the alternate buffer slot.
+
+    srcs: HBM refs [4, P+C]; bufs: [2, 4, C] VMEM scratch (slot-major);
+    sems: DMA semaphore arrays of shape (2,), one per src.  Returns the
+    [4, C] window views for THIS program (bufs[i][slot])."""
+    p = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+
+    def dmas(prog, slot):
+        g = prog - (1 if E else 0)
+        lo_idx = jnp.clip(g * M - E, 0, X * M)
+        al = pl.multiple_of(
+            (starts_ref[lo_idx] // _ALIGN) * _ALIGN, _ALIGN
+        )
+        return [
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(al, C)], buf.at[slot], sem.at[slot]
+            )
+            for src, buf, sem in zip(srcs, bufs, sems)
+        ]
+
+    @pl.when(p == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(p + 1 < n_prog)
+    def _():
+        for d in dmas(p + 1, (p + 1) % 2):
+            d.start()
+
+    slot = p % 2
+    for d in dmas(p, slot):
+        d.wait()
+    # return slot-indexed REFS (not loaded values): the chunk loop reads
+    # CH-column slices on demand
+    return tuple(buf.at[slot] for buf in bufs)
+
+
 def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
-                   out_pair, pos_v, F_v, sem):
+                   out_pair, pos_v2, F_v2, sem_p, sem_f):
     g = pl.program_id(0) - (1 if E else 0)  # slab claimed (shadow: -1..X)
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
-    cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
-    cp_pos.start()
-    cp_pos.wait()
-    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(al, C)], F_v, sem)
-    cp_f.start()
-    cp_f.wait()
+    pos_v, F_v = _prefetched_window(
+        starts_ref, X, M, E, C,
+        (pos_hbm, F_hbm), (pos_v2, F_v2), (sem_p, sem_f),
+    )
 
     # chunk the window so the one-hot matrices fit VMEM at large capacity;
     # the trip count is dynamic (from the prefetched slab offsets) so only
@@ -288,7 +333,8 @@ def _pick_chunk(C, Y, Z, budget=4 * 2**20):
 
 
 def _spread_renorm_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm,
-                          F_hbm, m_lo, m_hi, out_pair, pos_v, F_v, sem):
+                          F_hbm, m_lo, m_hi, out_pair, pos_v2, F_v2,
+                          sem_p, sem_f):
     """Spread with fused boundary-aware renormalisation: the per-vertex
     fluid-weight total (the separate mask-interpolation pass of the jnp
     path, reference core/immersedBoundaryMethod.h:62-138) is computed from
@@ -297,12 +343,10 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm,
     g = pl.program_id(0) - (1 if E else 0)
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
 
-    cp_pos = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
-    cp_pos.start()
-    cp_pos.wait()
-    cp_f = pltpu.make_async_copy(F_hbm.at[:, pl.ds(al, C)], F_v, sem)
-    cp_f.start()
-    cp_f.wait()
+    pos_v, F_v = _prefetched_window(
+        starts_ref, X, M, E, C,
+        (pos_hbm, F_hbm), (pos_v2, F_v2), (sem_p, sem_f),
+    )
 
     out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
 
@@ -386,9 +430,10 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
         out_specs=pl.BlockSpec((1, 3, Y, 2 * Z), lambda g, s: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C), pos.dtype),
-            pltpu.VMEM((4, C), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 4, C), pos.dtype),
+            pltpu.VMEM((2, 4, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if mask is not None:
@@ -416,7 +461,7 @@ def pallas_spread(pos, forces, shape, capacity=2048, interpret=None,
 
 
 def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, mm, starts_ref, pos_hbm,
-                   u_lo, u_hi, out_ref, pos_v, sem):
+                   u_lo, u_hi, out_ref, pos_v2, sem_p):
     g = pl.program_id(0) - (1 if E else 0)
     # dynamic trip count: only chunks holding this slab's vertices are
     # computed.  The whole block is zeroed first: the window-sum un-sort
@@ -425,9 +470,9 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, mm, starts_ref, pos_hbm,
     al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
     out_ref[0] = jnp.zeros((4, C), out_ref.dtype)
 
-    cp = pltpu.make_async_copy(pos_hbm.at[:, pl.ds(al, C)], pos_v, sem)
-    cp.start()
-    cp.wait()
+    (pos_v,) = _prefetched_window(
+        starts_ref, X, M, E, C, (pos_hbm,), (pos_v2,), (sem_p,),
+    )
 
     # plane-packed u: lanes [0,Z) = plane g, [Z,2Z) = plane g+1 — one
     # [NCH*Y, 2Z] @ [2Z, CH] matmul serves both x-planes (wx in Szf)
@@ -489,8 +534,8 @@ def pallas_interp(pos, u, shape, capacity=2048, interpret=None, plan=None,
         out_specs=pl.BlockSpec((1, 4, C), lambda g, s: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C), pos.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 4, C), pos.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -583,9 +628,10 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
         out_specs=pl.BlockSpec((1, 3, Y, 2 * Z), lambda q, s: (q, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C), plan.pos_cm.dtype),
-            pltpu.VMEM((4, C), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 4, C), plan.pos_cm.dtype),
+            pltpu.VMEM((2, 4, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if mask is not None:
@@ -646,8 +692,8 @@ def pallas_interp_shadow(plan, u, shape, capacity, interpret=None, mm="f32"):
         out_specs=pl.BlockSpec((1, 4, C), lambda q, s: (q, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C), plan.pos_cm.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 4, C), plan.pos_cm.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
