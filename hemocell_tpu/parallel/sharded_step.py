@@ -54,6 +54,10 @@ from ..config.defaults import FLAG_FLUID
 
 def shardmap_supported(cfg: StepConfig) -> bool:
     """True when the explicit shard_map step covers this configuration."""
+    if cfg.spread_mode == "scatter":
+        # the facade's overflow guard falls back to the exact XLA scatter
+        # IBM; this path is Pallas-slab only, so route to the GSPMD runner
+        return False
     if cfg.lees_edwards_velocity is not None:
         return False
     if cfg.cepac_tau is not None or cfg.interior_every or cfg.solidify_every:
@@ -206,6 +210,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         pos_local = act_pad = inside = None
         ibm_capacity = None
         wtot = None
+        step_overflow = None
         if pos_flat is not None:
             P0 = pos_flat.shape[0]
             P_pad = -(-P0 // 512) * 512
@@ -238,6 +243,13 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             fdep = ftot * (act_pad * in_f)[:, None]
             ibm_plan = build_ibm_plan(
                 pos_local, (Xl + 1, Y, Z), ibm_capacity, payload=fdep
+            )
+            # the slab windows here are per-SHARD static capacities — the
+            # exact silent-drop hazard the facade's overflow guard watches
+            # (hemocell.py _check_overflow); sum across shards so any one
+            # over-packed slab trips the carried counter
+            step_overflow = jax.lax.psum(
+                ibm_plan.overflow.astype(jnp.int32), axis
             )
             field_ext, _ = pallas_spread(
                 pos_local, fdep, (Xl + 1, Y, Z),
@@ -424,14 +436,17 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             )
             cells[k] = cs._replace(force=force)
 
+        # running-max window overflow, same carry contract as
+        # dynamics.build_step (facade guard: hemocell.py _check_overflow)
+        ov_new = state.ibm_overflow
+        if ov_new is not None and step_overflow is not None:
+            ov_new = jnp.maximum(ov_new, step_overflow)
         return SimState(
             f=f_new, it=it + 1, cells=tuple(cells),
             cepac=None, omega_field=None, flags_state=None,
             binding_mask=None, bc_state=None, body_force_state=None,
             le_displacement=None,
-            # carried through unchanged: the sharded path uses the exact
-            # jnp scatter spread (no static slab windows to overflow)
-            ibm_overflow=state.ibm_overflow,
+            ibm_overflow=ov_new,
         )
 
     return local_step

@@ -109,9 +109,15 @@ def shard_step_config(cfg: StepConfig, mesh: Mesh) -> StepConfig:
     )
     import dataclasses
 
+    # Pin the exact XLA scatter/gather IBM under GSPMD: the Pallas slab
+    # kernels are custom calls whose auto-partitioning has never been
+    # exercised on hardware, and their per-slab windows assume the FULL
+    # x extent — under an x-sharded lattice that combination silently
+    # mis-bins.  The shard_map fast path (sharded_step.py) is where the
+    # Pallas IBM runs distributed, with explicit per-shard ownership.
     return dataclasses.replace(
         cfg, flags=flags, bc_velocity=bc, omega=omega, boundary_mask=bmask,
-        use_pallas=False,
+        use_pallas=False, spread_mode="scatter",
     )
 
 

@@ -120,27 +120,33 @@ def main():
 
     if args.write:
         date = datetime.date.today().isoformat()
-        lines = [
-            "# VALIDATION — full physics oracles, measured\n",
-            f"Run on **{date}**, platform **{platform}** (`{dev}`), f32,",
-            "single chip, via `python scripts/run_validation.py --write"
-            " VALIDATION.md`.",
+        section = [
+            f"## Platform: {platform}",
             "",
-            "These are the reference's CI-gating validation oracles"
-            " (tests/validation/) executed in full — 10,000 iterations per"
-            " stretch force, 1000 iterations of the voxelized pipeflow tube"
-            " — not the shortened CI smoke versions.",
+            f"Run on **{date}**, device `{dev}`, f32, single chip, via"
+            " `python scripts/run_validation.py --write VALIDATION.md`.",
             "",
             "| case | measured | reference bounds | pass | wall |",
             "|---|---|---|---|---|",
         ]
         for r in results:
-            lines.append(
+            section.append(
                 f"| {r['case']} | {r['measured']} | {r['bounds']} | "
                 f"{'✅' if r['ok'] else '❌'} | {r['wall_s']:.0f} s |"
             )
-        lines += [
+        section.append("")
+
+        header = [
+            "# VALIDATION — full physics oracles, measured\n",
+            "These are the reference's CI-gating validation oracles"
+            " (tests/validation/) executed in full — 10,000 iterations per"
+            " stretch force, 1000 iterations of the voxelized pipeflow tube"
+            " — not the shortened CI smoke versions.  One section per"
+            " platform the suite has been executed on; a re-run on the same"
+            " platform replaces only its own section.",
             "",
+        ]
+        footer = [
             "Stretch bands: doi:10.3389/fphys.2017.00563 Fig. 4 via"
             " reference test_stretch_cell.cpp:141-163; pipeflow oracles:"
             " test_pipeflow.cpp:91-106.",
@@ -148,8 +154,37 @@ def main():
             " (tests/test_integration.py::test_stretch_validation,"
             " tests/test_pipeflow.py::test_pipeflow_validation).",
         ]
+
+        # keep sections recorded on OTHER platforms; replace ours
+        kept = {}
+        if os.path.exists(args.write):
+            cur_name, cur_lines = None, []
+            for line in open(args.write).read().splitlines():
+                if line.startswith("## Platform: "):
+                    if cur_name:
+                        kept[cur_name] = cur_lines
+                    cur_name = line.split("## Platform: ", 1)[1].strip()
+                    cur_lines = [line]
+                elif cur_name is not None:
+                    if line.startswith("Stretch bands:"):
+                        kept[cur_name] = cur_lines
+                        cur_name = None
+                    else:
+                        cur_lines.append(line)
+            if cur_name:
+                kept[cur_name] = cur_lines
+        kept[platform] = section
+
+        # tpu (the production platform) first, then the rest
+        order = sorted(kept, key=lambda p: (p != "tpu", p))
+        body = []
+        for p in order:
+            sec = kept[p]
+            while sec and sec[-1] == "":
+                sec.pop()
+            body += sec + [""]
         with open(args.write, "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(header + body + footer) + "\n")
         print(f"wrote {args.write}")
 
     sys.exit(1 if n_fail else 0)

@@ -79,6 +79,80 @@ def test_unsupported_features_detected():
     assert not shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
 
 
+def test_shardmap_overflow_carried():
+    """Over-pack one shard's slab windows: the shard_map step must carry
+    the IBM overflow counter (psum across shards) instead of discarding it
+    — the silent-corruption hazard the facade guard watches
+    (hemocell.py _check_overflow)."""
+    from hemocell_tpu.cells.state import make_cell_state, place_cells
+    from hemocell_tpu.dynamics import (
+        StepConfig, TypeConfig, initial_sim_state,
+    )
+    from hemocell_tpu.mechanics import MODEL_REGISTRY, topology_device_arrays
+    from hemocell_tpu.mesh import build_topology, rbc_from_sphere
+    from hemocell_tpu.presets import default_params, rbc_material
+
+    params = default_params()
+    mesh_c = rbc_from_sphere(1.2, 120)
+    topo = build_topology(mesh_c)
+    n_cells = 24
+    centers = [(16.0, 8.0, 8.0)] * n_cells  # all on shard 4 of 8
+    cells = place_cells(
+        mesh_c.vertices, np.asarray(centers, np.float64),
+        np.zeros((n_cells, 3)),
+    )
+    tc = TypeConfig(
+        name="RBC", model_fn=MODEL_REGISTRY["NoOp"],
+        topo=topology_device_arrays(topo),
+        material=rbc_material(params, mesh_c.num_triangles),
+    )
+    cfg = StepConfig(
+        shape=(32, 16, 16), flags=jnp.zeros((32, 16, 16), jnp.uint8),
+        omega=1.0, types=[tc], particle_every=1, f_limit=params.f_limit,
+        dtype=jnp.float32, spread_mode="pallas",
+    )
+    state = initial_sim_state(cfg, [make_cell_state(cells)])
+    mesh = make_mesh(8, axes=("x",))
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 2)
+    assert int(np.asarray(out.ibm_overflow)) > 0
+
+
+def test_distribute_overflow_fallback(tmp_path):
+    """Under distribute(), a non-zero counter must flip the facade to the
+    scatter path AND the rebuilt distributed runner must avoid the Pallas
+    slab kernels (shardmap_supported rejects spread_mode='scatter')."""
+    from hemocell_tpu import HemoCell
+    from hemocell_tpu.dynamics import StepConfig
+
+    assert not shardmap_supported(
+        dataclasses.replace(
+            rbc_suspension(shape=(16, 16, 16), n_cells=1)[0],
+            spread_mode="scatter",
+        )
+    )
+
+    cfgdir = tmp_path / "case"
+    os.makedirs(cfgdir, exist_ok=True)
+    (cfgdir / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx>
+        <dt>1e-7</dt><kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    hc = HemoCell(str(cfgdir / "config.xml"))
+    hc.initialize_lattice(shape=(32, 16, 16))
+    hc.set_body_force((1e-6, 0.0, 0.0))
+    hc.distribute(8)
+    hc.iterate(1)
+    hc._state = hc._state._replace(ibm_overflow=jnp.asarray(5, jnp.int32))
+    hc.iterate(1)  # ships the non-zero counter asynchronously
+    with pytest.warns(UserWarning, match="overflow"):
+        hc.iterate(1)
+    assert hc.spread_mode == "scatter"
+    hc.iterate(1)  # rebuilt distributed runner (GSPMD/scatter) still runs
+    hc.block()
+
+
 def test_facade_distribute(tmp_path):
     """HemoCell.distribute runs the same physics as single-device."""
     from hemocell_tpu import HemoCell
