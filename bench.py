@@ -1,26 +1,40 @@
 """Benchmark: coupled IB-LBM throughput on one TPU chip.
 
 Headline metric (BASELINE.json): fluid MLUPS/chip + membrane
-vertex-updates/s on an RBC suspension at ~30% hematocrit.  The reference
-publishes no absolute MLUPS (BASELINE.md); ``vs_baseline`` is the ratio to an
-estimated 1.0 MLUPS/core for the MPI reference's coupled pipeflow (Palabos
-BGK at ~5 MLUPS/core, degraded ~5x by IBM+mechanics — consistent with the
-reference's own guidance of 16^3-25^3 blocks per core).
+vertex-updates/s on the stated north-star configuration — a periodic pipe
+with ~200 RBC+PLT at 30% tube hematocrit, packCells-initialized
+(BASELINE.json configs[3], built by cases/pipeflow30.py).  The reference
+publishes no absolute MLUPS (BASELINE.md); ``vs_baseline`` is the ratio to
+an ESTIMATED 1.0 MLUPS/core for the MPI reference's coupled pipeflow
+(Palabos BGK at ~5 MLUPS/core, degraded ~5x by IBM+mechanics — consistent
+with the reference's own 16^3-25^3 block-per-core guidance); see
+``vs_baseline_note``.
+
+Secondary keys keep round-over-round comparability: the 64^3/128^3 periodic
+suspensions, fluid-only 128^3, and the reference tube.stl pipeflow case.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 # persistent compile cache: the first tunnel compile can take minutes,
 # repeat runs should be seconds
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "examples"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "cases"))
 
 
 def time_run(runner, state, n, repeats=3):
@@ -33,55 +47,136 @@ def time_run(runner, state, n, repeats=3):
     return best, out
 
 
-def main():
+def measured_resort_every(state):
+    """Auto-pick the IBM resort cadence from the drift bound
+    (auto_resort_every): u_max measured on the warmed state, doubled to
+    cover growth over the remaining timed iterations (body-force-driven
+    periodic boxes accelerate ~F per step from rest)."""
+    from hemocell_tpu.dynamics import auto_resort_every
+    from hemocell_tpu.fluid import lbm
+
+    _, u = lbm.macroscopic(state.f, None)
+    u_max = float(jnp.max(jnp.abs(u)))
+    return auto_resort_every(2.0 * max(u_max, 1e-6)), u_max
+
+
+def suspension_point(shape, n_cells, n, make):
+    """Warm up at cadence 1, measure u_max, rebuild at the picked cadence,
+    then time."""
     from hemocell_tpu.dynamics import build_runner
+
+    cfg, state, meta = make(resort_every=1)
+    runner = build_runner(cfg)
+    state = runner(state, 1)
+    jax.block_until_ready(state)
+    resort, u_max = measured_resort_every(state)
+    if resort != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, resort_every=resort)
+        runner = build_runner(cfg)
+        state = runner(state, 1)
+        jax.block_until_ready(state)
+    dt, state = time_run(runner, state, n)
+    return dt, meta, resort, u_max
+
+
+def main():
     from hemocell_tpu.presets import rbc_suspension
 
     dev = jax.devices()[0]
     platform = dev.platform
+    result = {}
 
-    # ---- coupled suspension (headline) ----------------------------------
-    # Mirrors the validated pipeflow settings (examples/pipeflow/pipeflow.cpp):
-    # stepParticleEvery=5, stepMaterialEvery=20, repulsion disabled (it is
-    # commented out in the reference example too).
-    shape = (64, 64, 64)
-    # 30% hematocrit: RBC volume ~721 lu^3 -> ~109 cells in 64^3
-    cfg, state, meta = rbc_suspension(
-        shape=shape,
-        n_cells=109,
-        body_force=(5e-7, 0.0, 0.0),
-        particle_every=5,
-        material_every=20,
-        repulsion=False,
-        resort_every=8,
+    # ---- north-star: periodic pipe, packCells init, 30% hematocrit ------
+    # (BASELINE.json configs[3]; reference-style RBC+PLT types, walls,
+    #  Poiseuille body force, stepParticleEvery=5, stepMaterialEvery=20,
+    #  facade-auto resort cadence from the u_lbm_max drift bound)
+    from pipeflow30 import build_pipeflow30
+
+    hc = build_pipeflow30()
+    n_rbc, n_plt = hc.alive_count(0), hc.alive_count(1)
+    ht = hc.measured_hematocrit
+    n_verts30 = sum(
+        cs.pos.shape[0] * cs.pos.shape[1] for cs in hc.cell_states
     )
-    runner = build_runner(cfg)
-    state = runner(state, 1)  # compile + warmup
-    jax.block_until_ready(state)
-
     n = 50
-    dt_coupled, state = time_run(runner, state, n)
-    nodes = shape[0] * shape[1] * shape[2]
-    mlups = nodes * n / dt_coupled / 1e6
-    vups = meta["n_vertices"] * n / dt_coupled
+    hc.iterate(n)  # compile (n static) + warmup
+    hc.block()
+    dt30 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hc.iterate(n)
+        hc.block()
+        dt30 = min(dt30, time.perf_counter() - t0)
+    nodes30 = hc.shape[0] * hc.shape[1] * hc.shape[2]
+    mlups30 = nodes30 * n / dt30 / 1e6
+    result.update({
+        "metric": (
+            f"pipeflow MLUPS/chip (periodic pipe, packCells init, "
+            f"{n_rbc} RBC + {n_plt} PLT, {ht:.1%} tube hematocrit)"
+        ),
+        "value": round(mlups30, 3),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups30 / 1.0, 3),
+        "vs_baseline_note": (
+            "ratio to an ESTIMATED 1 MLUPS/core for the MPI reference's "
+            "coupled pipeflow (no published numbers; BASELINE.md)"
+        ),
+        "pipeflow30_mlups": round(mlups30, 3),
+        "pipeflow30_cells": n_rbc + n_plt,
+        "pipeflow30_hematocrit": round(ht, 4),
+        "pipeflow30_shape": list(hc.shape),
+        "pipeflow30_resort_every": hc._auto_resort_every(),
+        "pipeflow30_vertex_updates_per_s": round(n_verts30 * n / dt30, 1),
+        "pipeflow30_s_per_iteration": round(dt30 / n, 6),
+        "platform": platform,
+    })
 
-    # ---- coupled at 128^3, ~30% hematocrit (production scale) ------------
-    cfg8, state8, meta8 = rbc_suspension(
-        shape=(128, 128, 128),
-        n_cells=872,
-        body_force=(5e-7, 0.0, 0.0),
-        particle_every=5,
-        material_every=20,
-        repulsion=False,
-        resort_every=8,
-    )
-    runner8 = build_runner(cfg8)
-    state8 = runner8(state8, 1)
-    jax.block_until_ready(state8)
-    dt8, _ = time_run(runner8, state8, 20)
-    mlups_128 = 128 ** 3 * 20 / dt8 / 1e6
+    # ---- coupled suspension 64^3 (round-over-round comparability) -------
+    # Mirrors the validated pipeflow settings (examples/pipeflow/
+    # pipeflow.cpp): stepParticleEvery=5, stepMaterialEvery=20, repulsion
+    # disabled (commented out in the reference example too).
+    def make64(resort_every):
+        return rbc_suspension(
+            shape=(64, 64, 64), n_cells=109,
+            body_force=(5e-7, 0.0, 0.0), particle_every=5,
+            material_every=20, repulsion=False, resort_every=resort_every,
+        )
+
+    dt_c, meta, resort64, umax64 = suspension_point((64,) * 3, 109, 50,
+                                                    make64)
+    result.update({
+        "coupled_64_mlups": round(64 ** 3 * 50 / dt_c / 1e6, 3),
+        "coupled_64_cells": meta["n_cells"],
+        "coupled_64_hematocrit": round(meta["hematocrit"], 3),
+        "coupled_64_resort_every": resort64,
+        "vertex_updates_per_s": round(meta["n_vertices"] * 50 / dt_c, 1),
+        "s_per_iteration": round(dt_c / 50, 6),
+    })
+
+    # ---- coupled at 128^3 (production scale) -----------------------------
+    def make128(resort_every):
+        return rbc_suspension(
+            shape=(128, 128, 128), n_cells=872,
+            body_force=(5e-7, 0.0, 0.0), particle_every=5,
+            material_every=20, repulsion=False, resort_every=resort_every,
+        )
+
+    dt8, meta8, resort128, _ = suspension_point((128,) * 3, 872, 20, make128)
+    result.update({
+        "coupled_128_mlups": round(128 ** 3 * 20 / dt8 / 1e6, 3),
+        "coupled_128_cells": meta8["n_cells"],
+        "coupled_128_hematocrit": round(meta8["hematocrit"], 3),
+        "coupled_128_resort_every": resort128,
+        "coupled_128_vertex_updates_per_s": round(
+            meta8["n_vertices"] * 20 / dt8, 1
+        ),
+    })
 
     # ---- fluid only -----------------------------------------------------
+    from hemocell_tpu.dynamics import build_runner
+
     cfg_f, state_f, _ = rbc_suspension(
         shape=(128, 128, 128), n_cells=0, body_force=(5e-7, 0.0, 0.0),
         repulsion=False,
@@ -89,49 +184,28 @@ def main():
     runner_f = build_runner(cfg_f)
     state_f = runner_f(state_f, 1)
     jax.block_until_ready(state_f)
-    dt_fluid, _ = time_run(runner_f, state_f, n)
-    mlups_fluid = 128 ** 3 * n / dt_fluid / 1e6
-
-    result = {
-        "metric": "coupled MLUPS/chip (RBC suspension ~30% hematocrit)",
-        "value": round(mlups, 3),
-        "unit": "MLUPS",
-        "vs_baseline": round(mlups / 1.0, 3),
-        "fluid_only_mlups": round(mlups_fluid, 3),
-        "coupled_128_mlups": round(mlups_128, 3),
-        "coupled_128_cells": meta8["n_cells"],
-        "coupled_128_vertex_updates_per_s": round(
-            meta8["n_vertices"] * 20 / dt8, 1
-        ),
-        "vertex_updates_per_s": round(vups, 1),
-        "n_cells": meta["n_cells"],
-        "hematocrit": round(meta["hematocrit"], 3),
-        "platform": platform,
-        "s_per_iteration": round(dt_coupled / n, 6),
-    }
+    dt_fluid, _ = time_run(runner_f, state_f, 50)
+    result["fluid_only_mlups"] = round(128 ** 3 * 50 / dt_fluid / 1e6, 3)
 
     # ---- the reference pipeflow case itself (voxelized tube, RBC+PLT) ---
     pipeflow_cfg = "/root/reference/examples/pipeflow/config.xml"
     if os.path.exists(pipeflow_cfg):
         try:
-            import sys
-
-            sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                            "examples"))
             from pipeflow import build_pipeflow
 
-            hc = build_pipeflow(pipeflow_cfg)
-            hc.iterate(n)  # compile (n is static) + warmup
-            hc.block()
+            hc2 = build_pipeflow(pipeflow_cfg)
+            hc2.iterate(n)  # compile (n is static) + warmup
+            hc2.block()
             dt_pipe = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                hc.iterate(n)
-                hc.block()
+                hc2.iterate(n)
+                hc2.block()
                 dt_pipe = min(dt_pipe, time.perf_counter() - t0)
-            nodes_pipe = hc.shape[0] * hc.shape[1] * hc.shape[2]
-            result["pipeflow_mlups"] = round(nodes_pipe * n / dt_pipe / 1e6, 3)
-            result["pipeflow_cells"] = hc.alive_count(0) + hc.alive_count(1)
+            nodes_pipe = hc2.shape[0] * hc2.shape[1] * hc2.shape[2]
+            result["pipeflow_mlups"] = round(nodes_pipe * n / dt_pipe / 1e6,
+                                             3)
+            result["pipeflow_cells"] = hc2.alive_count(0) + hc2.alive_count(1)
             result["pipeflow_s_per_iteration"] = round(dt_pipe / n, 6)
         except Exception as e:  # never break the headline metric
             result["pipeflow_error"] = str(e)[:200]

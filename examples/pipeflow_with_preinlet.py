@@ -39,6 +39,12 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--tmax", type=int, default=2000)
     ap.add_argument("--spare-slots", type=int, default=64)
+    ap.add_argument("--tcheckpoint", type=int, default=0,
+                    help="checkpoint both domains every N steps "
+                         "(reference PRE_* variants)")
+    ap.add_argument("--checkpoint-dir", default="checkpoint_preinlet")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint-dir")
     args = ap.parse_args()
 
     # main domain from the standard pipeflow builder, preinlet = a copy of
@@ -92,15 +98,24 @@ def main():
     stepper = make_coupled_stepper(
         pre_cfg, main_cfg, target_mean_velocity=hc.params.u_lbm_max * 0.4
     )
-    st = PreInletState(
-        pre=pre_state,
-        main=main_state,
-        body_force=jnp.asarray(poiseuille, hc.dtype),
-        crossings=initial_crossings(pre_state, hc.shape[0]),
-    )
+    if args.resume:
+        from hemocell_tpu.io import load_preinlet_checkpoint
+
+        st, meta = load_preinlet_checkpoint(args.checkpoint_dir,
+                                            dtype=hc.dtype)
+        print(f"(preinlet pipeflow) resumed at iter {int(st.pre.it)}"
+              f" from {args.checkpoint_dir}")
+    else:
+        st = PreInletState(
+            pre=pre_state,
+            main=main_state,
+            body_force=jnp.asarray(poiseuille, hc.dtype),
+            crossings=initial_crossings(pre_state, hc.shape[0]),
+        )
 
     report = max(1, args.tmax // 10)
-    for it in range(args.tmax):
+    start = int(st.pre.it)
+    for it in range(start, args.tmax):
         st = stepper(st)
         if (it + 1) % report == 0:
             jax.block_until_ready(st)
@@ -110,6 +125,12 @@ def main():
                 f"iter {it+1}: preinlet cells {n_pre}, main cells {n_main}, "
                 f"drive {float(st.body_force):.3e}"
             )
+        if args.tcheckpoint and (it + 1) % args.tcheckpoint == 0:
+            from hemocell_tpu.io import save_preinlet_checkpoint
+
+            jax.block_until_ready(st)
+            save_preinlet_checkpoint(args.checkpoint_dir, st,
+                                     meta={"iteration": it + 1})
     print("(preinlet pipeflow) done")
 
 

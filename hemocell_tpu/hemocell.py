@@ -466,8 +466,11 @@ class HemoCell:
                 shardmap_supported,
             )
 
-            n_ax = int(mesh.shape[mesh.axis_names[0]])
-            if shardmap_supported(cfg) and self.shape[0] % n_ax == 0:
+            names = mesh.axis_names
+            divisible = self.shape[0] % int(mesh.shape[names[0]]) == 0
+            if len(names) > 1:
+                divisible &= self.shape[1] % int(mesh.shape[names[1]]) == 0
+            if shardmap_supported(cfg) and len(names) <= 2 and divisible:
                 self._runner = build_shardmap_runner(cfg, mesh)
             else:
                 # GSPMD auto-partition covers the full feature set
@@ -523,10 +526,9 @@ class HemoCell:
         if n_verts < 48_000:
             return 1
         u_max = getattr(self.params, "u_lbm_max", 0.1) or 0.1
-        for k in (8, 4, 2):
-            if k * u_max < 0.1:  # margin under the 0.125 strip width
-                return k
-        return 1
+        from .dynamics import auto_resort_every
+
+        return auto_resort_every(u_max)
 
     def distribute(self, n_devices: int | None = None, mesh=None):
         """Run the simulation domain-decomposed over a device mesh — the

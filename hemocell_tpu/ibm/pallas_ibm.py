@@ -166,14 +166,19 @@ class IbmPlanT(NamedTuple):
 
 
 def build_ibm_plan(pos, shape, capacity, payload=None,
-                   subdiv=1) -> IbmPlanT:
+                   subdiv=1, overflow_slabs=None) -> IbmPlanT:
     """One multi-operand lax.sort carries positions (and optionally a
     [P,3] payload, e.g. the spread forces) along with the slab keys —
     measurably faster than argsort + separate row gathers on TPU.
 
     ``subdiv`` > 1 sorts with sub-slab resolution (shadow mode: within-slab
     order then follows x, so drifted vertices concentrate in thin boundary
-    strips and the widened windows stay cheap)."""
+    strips and the widened windows stay cheap).
+
+    ``overflow_slabs`` restricts the overflow count to the first N slabs:
+    the sharded step (parallel/sharded_step.py) parks other shards' vertices
+    in the final (halo-row) slab, whose zero-payload drops are harmless by
+    construction and must not trip the facade's corruption guard."""
     X, Y, Z = (int(s) for s in shape)
     P = pos.shape[0]
     C = capacity
@@ -195,11 +200,12 @@ def build_ibm_plan(pos, shape, capacity, payload=None,
     ).astype(jnp.int32)
     slab_starts = starts[::subdiv]
     slab_counts = jnp.diff(slab_starts)
-    overflow = jnp.sum(
-        jnp.maximum(
-            jnp.mod(slab_starts[:-1], _ALIGN) + slab_counts - C, 0
-        )
-    ).astype(jnp.int32)
+    per_slab = jnp.maximum(
+        jnp.mod(slab_starts[:-1], _ALIGN) + slab_counts - C, 0
+    )
+    if overflow_slabs is not None:
+        per_slab = per_slab[: int(overflow_slabs)]
+    overflow = jnp.sum(per_slab).astype(jnp.int32)
     pos_cm = jnp.zeros((4, P + C), pos.dtype)
     pos_cm = pos_cm.at[0, :P].set(jnp.clip(out[1], 0.0, X - 1e-6))
     pos_cm = pos_cm.at[1, :P].set(out[2])

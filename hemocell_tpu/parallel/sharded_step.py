@@ -4,19 +4,28 @@ The TPU-native analog of the reference's MPI spatial decomposition with
 particle envelopes (core/hemoCell.cpp:438-571, core/hemoCellFields.cpp:
 363-499), built from explicit SPMD pieces instead of GSPMD auto-partition:
 
-  * lattice ``f[19, X, Y, Z]`` sharded along X over a 1-D mesh; one halo
-    row per side exchanged with ``ppermute`` per step (ICI), the fused
-    Pallas stream-collide runs on the halo-extended local block
-    (fluid/sharded_pallas.py).
+  * lattice ``f[19, X, Y, Z]`` sharded along X over a 1-D mesh — or over
+    (X, Y) on a 2-D ("x", "y") mesh (v5p-style non-flat topologies; the
+    reference decomposes arbitrarily, core/hemoCell.cpp:438-571).  One halo
+    layer per side per sharded axis is exchanged with ``ppermute`` (ICI).
+    On a 1-D mesh the x halo rows ride directly as Pallas kernel operands;
+    on a 2-D mesh the local block is first extended with y ghost columns
+    (pull streaming touches at most one neighbour, so interior columns of
+    the y-extended block are exact regardless of the kernel's periodic
+    wrap at the ghost edges), and the x halo-row operands are taken from
+    the y-EXTENDED block — the received rows then already carry the
+    diagonal (corner) neighbours' data.
   * vertices are replicated; each shard runs the Pallas IBM kernels
-    (ibm/pallas_ibm.py) on ONLY the vertices whose base x-slab it owns.
-    Spreading runs on an (Xl+1)-row local slab: the kernel's periodic
-    x-wrap deposits the last slab's upper-row contribution into row Xl,
-    which is exactly the right-neighbour's halo row — one ppermute + add
-    replaces the reference's two-phase particle envelope protocol.
-  * interpolation reads a halo-extended (Xl+1)-row velocity block; each
-    vertex is interpolated on exactly one shard and a ``psum`` rebuilds
-    the replicated per-vertex velocities.
+    (ibm/pallas_ibm.py) on ONLY the vertices whose base (x-slab [, y-range])
+    it owns.  Spreading runs on an (Xl+1[, Yl+1])-extended local slab whose
+    final row/column collect the forward-neighbour deposits; the halo is
+    shipped x-row first, then y-column — the corner deposit rides both
+    hops and lands on the diagonal neighbour, replacing the reference's
+    two-phase particle envelope protocol.
+  * interpolation reads a halo-extended velocity block (corner via the
+    same two-hop composition); each vertex is interpolated on exactly one
+    shard and a ``psum`` over the mesh axes rebuilds the replicated
+    per-vertex velocities.
   * mechanics / repulsion / advance run replicated (identical inputs give
     identical outputs on every shard — they are vertex-sized, tiny next
     to the lattice).
@@ -80,26 +89,64 @@ def _bwd(axis):
     return [(i, (i - 1) % n) for i in range(n)]
 
 
-def _row_from_right(arr, axis):
-    """First local row of the right neighbour (periodic)."""
-    return jax.lax.ppermute(arr[..., :1, :, :], axis, perm=_bwd(axis))
+def _first_slice(arr, dim):
+    sl = [slice(None)] * arr.ndim
+    sl[dim] = slice(0, 1)
+    return arr[tuple(sl)]
 
 
-def _row_to_right(arr_row, axis):
-    """Send my computed halo row to the right neighbour."""
-    return jax.lax.ppermute(arr_row, axis, perm=_fwd(axis))
+def _last_slice(arr, dim):
+    n = arr.shape[dim]
+    sl = [slice(None)] * arr.ndim
+    sl[dim] = slice(n - 1, n)
+    return arr[tuple(sl)]
+
+
+def _from_next(arr, axis_name, dim):
+    """First slice along ``dim`` of the forward (periodic) neighbour."""
+    return jax.lax.ppermute(_first_slice(arr, dim), axis_name,
+                            perm=_bwd(axis_name))
+
+
+def _from_prev(arr, axis_name, dim):
+    """Last slice along ``dim`` of the backward (periodic) neighbour."""
+    return jax.lax.ppermute(_last_slice(arr, dim), axis_name,
+                            perm=_fwd(axis_name))
+
+
+def _to_next(arr_slice, axis_name):
+    """Ship my computed halo slice to the forward neighbour."""
+    return jax.lax.ppermute(arr_slice, axis_name, perm=_fwd(axis_name))
+
+
+def _yext(arr, axis_name, dim):
+    """Extend with one ghost layer on each side along ``dim`` (periodic
+    neighbour exchange): [.., n, ..] -> [.., n+2, ..]."""
+    lo = _from_prev(arr, axis_name, dim)
+    hi = _from_next(arr, axis_name, dim)
+    return jnp.concatenate([lo, arr, hi], axis=dim)
 
 
 def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         use_pallas=None, interpret=None):
     """shard_map'd single coupled iteration (same contract as
-    dynamics.build_step, reference core/hemoCell.cpp:299-376)."""
+    dynamics.build_step, reference core/hemoCell.cpp:299-376).
+
+    ``mesh`` may be 1-D (x) or 2-D (x, y); ``axis`` names the x mesh axis.
+    """
     assert shardmap_supported(cfg), "unsupported features for shard_map step"
     shape = tuple(int(s) for s in cfg.shape)
     X, Y, Z = shape
-    n = int(mesh.shape[axis])
-    assert X % n == 0, f"X={X} not divisible by {n} shards"
-    Xl = X // n
+    axes = tuple(mesh.axis_names)
+    ay = axes[1] if len(axes) > 1 else None
+    nx = int(mesh.shape[axis])
+    ny = int(mesh.shape[ay]) if ay is not None else 1
+    if ny == 1:
+        ay = None
+    assert X % nx == 0, f"X={X} not divisible by {nx} shards"
+    assert Y % ny == 0, f"Y={Y} not divisible by {ny} shards"
+    Xl, Yl = X // nx, Y // ny
+    psum_axes = (axis, ay) if ay else axis
     dtype = cfg.dtype
     fshape = jnp.asarray(shape, dtype=dtype)
     has_boundaries = bool(np.asarray(cfg.flags).any())
@@ -112,6 +159,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         it = state.it
         cells = list(state.cells)
         x0 = (jax.lax.axis_index(axis) * Xl).astype(dtype)
+        y0 = (jax.lax.axis_index(ay) * Yl).astype(dtype) if ay else None
 
         # ---- flatten vertices (replicated) ----------------------------
         pos_parts, act_parts, gid_parts = [], [], []
@@ -186,7 +234,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
                 offset += cnt
 
-        # ---- 2: spread (shard-local Pallas + halo-row exchange) ---------
+        # ---- 2: spread (shard-local Pallas + halo exchange) -------------
         # lazy force: a uniform body force stays a [3] SMEM operand of the
         # fluid kernel (no field traffic, no force halo ppermute) until a
         # spread contribution materialises a field (see dynamics.py)
@@ -198,18 +246,32 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         def _mat_force(fld):
             if fld is not None:
                 return fld
-            fld = jnp.zeros((3, Xl, Y, Z), dtype=dtype)
+            fld = jnp.zeros((3, Xl, Yl, Z), dtype=dtype)
             if bf_uniform is not None:
                 fld = fld + bf_uniform[:, None, None, None]
             return fld
 
+        # local IBM grid extents: +1 collector row/column per sharded axis
+        Xe, Ye = Xl + 1, (Yl + 1 if ay else Yl)
         fluid_mask_l = (flags_l == FLAG_FLUID).astype(dtype)
-        mask_halo = _row_from_right(fluid_mask_l[None], axis)
-        mask_ext = jnp.concatenate([fluid_mask_l[None], mask_halo], axis=1)
+
+        def _ibm_ext(m):
+            """Extend a [C?, Xl, Yl, Z] field to the IBM grid (Xe, Ye):
+            forward-neighbour first row/column; corner via the x-row of
+            the y-EXTENDED field (two-hop: the x-neighbour's y extension
+            is exactly the diagonal neighbour's data)."""
+            d = m.ndim - 3  # leading channel dims
+            if ay:
+                my = jnp.concatenate([m, _from_next(m, ay, d + 1)],
+                                     axis=d + 1)
+            else:
+                my = m
+            return jnp.concatenate([my, _from_next(my, axis, d)], axis=d)
+
+        mask_ext = _ibm_ext(fluid_mask_l[None])
 
         pos_local = act_pad = inside = None
         ibm_capacity = None
-        wtot = None
         step_overflow = None
         if pos_flat is not None:
             P0 = pos_flat.shape[0]
@@ -221,10 +283,17 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             pos_w = jnp.mod(pos_pad, fshape[None, :])
             xl = pos_w[:, 0] - x0
             inside = (xl >= 0) & (xl < Xl)
+            yl = pos_w[:, 1]
+            if ay:
+                yl = pos_w[:, 1] - y0
+                inside = inside & (yl >= 0) & (yl < Yl)
             # vertices of other shards park in the (Xl)-th bucket of the
-            # (Xl+1)-row local slab: never matched by a real slab program
+            # extended local slab: never a real slab program's window, and
+            # excluded from the overflow count below
             pos_local = jnp.stack(
-                [jnp.where(inside, xl, Xl + 0.5), pos_w[:, 1], pos_w[:, 2]],
+                [jnp.where(inside, xl, Xl + 0.5),
+                 jnp.where(inside, yl, 0.5) if ay else yl,
+                 pos_w[:, 2]],
                 axis=1,
             )
             ibm_capacity = slab_capacity(P_pad, X)
@@ -239,53 +308,82 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             )
             ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
             # boundary renormalisation fused into the spread kernel: the
-            # owner shard sees both support rows (local + halo), so no psum
+            # owner shard sees every support row (local + halo), so no psum
             fdep = ftot * (act_pad * in_f)[:, None]
+            # overflow_slabs=Xl: owned vertices live in slabs [0, Xl);
+            # parked vertices (zero payload) sit in slab Xl — their
+            # capacity "drops" are harmless and must not trip the guard
             ibm_plan = build_ibm_plan(
-                pos_local, (Xl + 1, Y, Z), ibm_capacity, payload=fdep
+                pos_local, (Xe, Ye, Z), ibm_capacity, payload=fdep,
+                overflow_slabs=Xl,
             )
-            # the slab windows here are per-SHARD static capacities — the
-            # exact silent-drop hazard the facade's overflow guard watches
+            # the slab windows are per-SHARD static capacities — the exact
+            # silent-drop hazard the facade's overflow guard watches
             # (hemocell.py _check_overflow); sum across shards so any one
             # over-packed slab trips the carried counter
             step_overflow = jax.lax.psum(
-                ibm_plan.overflow.astype(jnp.int32), axis
+                ibm_plan.overflow.astype(jnp.int32), psum_axes
             )
             field_ext, _ = pallas_spread(
-                pos_local, fdep, (Xl + 1, Y, Z),
+                pos_local, fdep, (Xe, Ye, Z),
                 capacity=ibm_capacity, interpret=interpret,
                 mask=mask_ext[0] if has_boundaries else None,
                 plan=ibm_plan,
             )
-            halo_from_left = _row_to_right(field_ext[:, Xl:], axis)
-            field_l = field_ext[:, :Xl].at[:, 0].add(halo_from_left[:, 0])
+            # two-hop halo reduction: x-row first (carries the corner),
+            # then y-column — the corner deposit lands diagonally
+            halo_x = _to_next(field_ext[:, Xl:], axis)
+            field_l = field_ext[:, :Xl].at[:, 0].add(halo_x[:, 0])
+            if ay:
+                halo_y = _to_next(field_l[:, :, Yl:], ay)
+                field_l = field_l[:, :, :Yl].at[:, :, 0].add(halo_y[:, :, 0])
             if has_boundaries:
                 field_l = field_l * fluid_mask_l[None]
             force_field = _mat_force(force_field) + field_l
 
-        # ---- 3: fluid stream-collide with ppermute'd x-halo rows ---------
+        # ---- 3: fluid stream-collide with ppermute'd halo layers ---------
+        # 2-D mesh: extend every operand with y ghost columns first; the
+        # x halo-row operands are taken from the y-extended blocks, so the
+        # received rows already include the diagonal neighbours' corners.
+        def _fluid_op(arr, d):
+            """y-extend (2-D mesh) an operand with leading dim count d."""
+            return _yext(arr, ay, d + 1) if ay else arr
+
+        f_op = _fluid_op(state.f, 1)
         fl, fr = (
-            jax.lax.ppermute(state.f[:, -1:], axis, perm=_fwd(axis)),
-            jax.lax.ppermute(state.f[:, :1], axis, perm=_bwd(axis)),
+            jax.lax.ppermute(_last_slice(f_op, 1), axis, perm=_fwd(axis)),
+            jax.lax.ppermute(_first_slice(f_op, 1), axis, perm=_bwd(axis)),
         )
+        force_op = None
         fo_halo = None
         if force_field is not None:
+            force_op = _fluid_op(force_field, 1)
             fo_halo = (
-                jax.lax.ppermute(force_field[:, -1:], axis, perm=_fwd(axis)),
-                jax.lax.ppermute(force_field[:, :1], axis, perm=_bwd(axis)),
+                jax.lax.ppermute(_last_slice(force_op, 1), axis,
+                                 perm=_fwd(axis)),
+                jax.lax.ppermute(_first_slice(force_op, 1), axis,
+                                 perm=_bwd(axis)),
             )
         all_fluid = not has_boundaries and bc_l is None
+        flags_op = None
         flg_halo = None
         if not all_fluid:
+            flags_op = _fluid_op(flags_l, 0)
             flg_halo = (
-                jax.lax.ppermute(flags_l[None, -1:], axis, perm=_fwd(axis))[0],
-                jax.lax.ppermute(flags_l[None, :1], axis, perm=_bwd(axis))[0],
+                jax.lax.ppermute(flags_op[None, -1:], axis,
+                                 perm=_fwd(axis))[0],
+                jax.lax.ppermute(flags_op[None, :1], axis,
+                                 perm=_bwd(axis))[0],
             )
+        bc_op = None
         bc_halo = None
         if bc_l is not None:
+            bc_op = _fluid_op(bc_l, 1)
             bc_halo = (
-                jax.lax.ppermute(bc_l[:, -1:], axis, perm=_fwd(axis)),
-                jax.lax.ppermute(bc_l[:, :1], axis, perm=_bwd(axis)),
+                jax.lax.ppermute(_last_slice(bc_op, 1), axis,
+                                 perm=_fwd(axis)),
+                jax.lax.ppermute(_first_slice(bc_op, 1), axis,
+                                 perm=_bwd(axis)),
             )
         om = jnp.asarray(cfg.omega, dtype)
         if use_pallas:
@@ -300,38 +398,43 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             if bc_halo is not None:
                 halos["bc"] = bc_halo
             f_new = stream_collide_pallas(
-                state.f,
-                force_field if force_field is not None else bf_uniform,
+                f_op,
+                force_op if force_op is not None else bf_uniform,
                 om,
-                flags_l if not all_fluid else None,
-                bc_l,
+                flags_op if not all_fluid else None,
+                bc_op,
                 halos=halos,
             )
+            if ay:
+                f_new = f_new[:, :, 1:-1]
         else:
-            f_ext = jnp.concatenate([fl, state.f, fr], axis=1)
-            if force_field is not None:
+            f_ext = jnp.concatenate([fl, f_op, fr], axis=1)
+            Ye2 = Yl + 2 if ay else Y
+            if force_op is not None:
                 force_j = jnp.concatenate(
-                    [fo_halo[0], force_field, fo_halo[1]], axis=1
+                    [fo_halo[0], force_op, fo_halo[1]], axis=1
                 )
             else:
                 force_j = jnp.broadcast_to(
                     (bf_uniform if bf_uniform is not None
                      else jnp.zeros(3, dtype))[:, None, None, None],
-                    (3, Xl + 2, Y, Z),
+                    (3, Xl + 2, Ye2, Z),
                 )
             flags_j = (
-                jnp.concatenate([flg_halo[0], flags_l, flg_halo[1]], axis=0)
+                jnp.concatenate([flg_halo[0], flags_op, flg_halo[1]], axis=0)
                 if flg_halo is not None
-                else jnp.zeros((Xl + 2, Y, Z), jnp.uint8)
+                else jnp.zeros((Xl + 2, Ye2, Z), jnp.uint8)
             )
             bc_ext = None
             if bc_halo is not None:
-                bc_ext = jnp.concatenate([bc_halo[0], bc_l, bc_halo[1]],
+                bc_ext = jnp.concatenate([bc_halo[0], bc_op, bc_halo[1]],
                                          axis=1)
             f_out_ext = lbm.stream_collide(
                 f_ext, force_j, om, flags_j, bc_ext
             )
             f_new = f_out_ext[:, 1:-1]
+            if ay:
+                f_new = f_new[:, :, 1:-1]
 
         # ---- 4: interpolate (owner shard + psum) -------------------------
         if pos_flat is not None:
@@ -348,24 +451,23 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     um = u_l * fluid_mask_l[None]
                 else:
                     um = u_l
-                u_halo = _row_from_right(um, axis)
-                u_ext = jnp.concatenate([um, u_halo], axis=1)
+                u_ext = _ibm_ext(um)
                 if has_boundaries:
                     fields4 = jnp.concatenate([u_ext, mask_ext])
                     v4, _ = pallas_interp(
-                        pos_local, fields4, (Xl + 1, Y, Z),
+                        pos_local, fields4, (Xe, Ye, Z),
                         capacity=ibm_capacity, interpret=interpret,
                         plan=ibm_plan,
                     )
-                    v4 = jax.lax.psum(v4 * in_f[:, None], axis)
+                    v4 = jax.lax.psum(v4 * in_f[:, None], psum_axes)
                     v = v4[:, :3] / jnp.maximum(v4[:, 3:4], 1e-30)
                 else:
                     v, _ = pallas_interp(
-                        pos_local, u_ext, (Xl + 1, Y, Z),
+                        pos_local, u_ext, (Xe, Ye, Z),
                         capacity=ibm_capacity, interpret=interpret,
                         plan=ibm_plan,
                     )
-                    v = jax.lax.psum(v[:, :3] * in_f[:, None], axis)
+                    v = jax.lax.psum(v[:, :3] * in_f[:, None], psum_axes)
                 return v * act_pad[:, None]
 
             vel_fallback = jnp.pad(
@@ -386,8 +488,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
         # ---- 5: advance + boundary-contact deletion ----------------------
         if has_boundaries:
-            fl_halo = _row_from_right(flags_l[None], axis)[0]
-            flags_e = jnp.concatenate([flags_l, fl_halo], axis=0)
+            flags_e = _ibm_ext(flags_l[None])[0]
         for k, cs in enumerate(cells):
             new_pos = cs.pos + cs.vel
             if has_boundaries:
@@ -398,16 +499,23 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 node_x = jnp.floor(
                     jnp.clip(xr, 0.0, Xl - 1e-6) + 0.5
                 ).astype(jnp.int32)
-                node_y = jnp.mod(
-                    jnp.floor(p[:, 1] + 0.5).astype(jnp.int32), Y
-                )
+                if ay:
+                    yr = p[:, 1] - y0
+                    ins = ins & (yr >= 0) & (yr < Yl)
+                    node_y = jnp.floor(
+                        jnp.clip(yr, 0.0, Yl - 1e-6) + 0.5
+                    ).astype(jnp.int32)
+                else:
+                    node_y = jnp.mod(
+                        jnp.floor(p[:, 1] + 0.5).astype(jnp.int32), Y
+                    )
                 node_z = jnp.mod(
                     jnp.floor(p[:, 2] + 0.5).astype(jnp.int32), Z
                 )
                 hit_l = (
                     (flags_e[node_x, node_y, node_z] != FLAG_FLUID) & ins
                 )
-                hit = jax.lax.psum(hit_l.astype(jnp.int32), axis) > 0
+                hit = jax.lax.psum(hit_l.astype(jnp.int32), psum_axes) > 0
                 hit = hit.reshape(nc, nv)
                 alive = cs.alive & ~jnp.any(hit, axis=1)
             else:
@@ -455,14 +563,19 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                           use_pallas=None, interpret=None):
     """jitted (state, n) -> state: the shard_map coupled step iterated with
-    fori_loop, lattice sharded along ``axis``, cells replicated."""
+    fori_loop, lattice sharded along ``axis`` (plus the second mesh axis
+    over Y on a 2-D mesh), cells replicated."""
     X = int(cfg.shape[0])
-    n = int(mesh.shape[axis])
-    Xl = X // n
+    Y = int(cfg.shape[1])
+    axes = tuple(mesh.axis_names)
+    ay = axes[1] if len(axes) > 1 and int(mesh.shape[axes[1]]) > 1 else None
+    nx = int(mesh.shape[axis])
+    Xl = X // nx
+    Yl = Y // int(mesh.shape[ay]) if ay else Y
     local = build_shardmap_step(cfg, mesh, axis, use_pallas, interpret)
 
-    f_spec = P(None, axis, None, None)
-    g_spec = P(axis, None, None)
+    f_spec = P(None, axis, ay, None)
+    g_spec = P(axis, ay, None)
 
     flags_sh = jax.device_put(
         jnp.asarray(cfg.flags), NamedSharding(mesh, g_spec)
@@ -480,7 +593,9 @@ def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
     opts = None
     if jax.default_backend() == "tpu":
-        lcfg = dataclasses.replace(cfg, shape=(Xl + 1,) + tuple(cfg.shape[1:]))
+        lcfg = dataclasses.replace(
+            cfg, shape=(Xl + 1, Yl + 2 if ay else Yl) + tuple(cfg.shape[2:])
+        )
         opts = {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_limit_kib(lcfg)}
 
     def run(state: SimState, n_iter: int) -> SimState:

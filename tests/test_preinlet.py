@@ -224,3 +224,80 @@ def test_auto_preinlet_from_boundary():
     assert pre2.shape == (4, 8, 8)
     np.testing.assert_array_equal(pre2[0], flags[5])
     assert (mask2 == (flags[5] == FLAG_FLUID)).all()
+
+
+def test_preinlet_checkpoint_resume(tmp_path):
+    """A coupled preinlet run checkpointed mid-flight resumes
+    BIT-IDENTICALLY (reference: PRE_* checkpoint variants,
+    core/hemoCellFields.cpp:312-318; .old double-buffer :290-303)."""
+    from hemocell_tpu.io import (
+        load_preinlet_checkpoint,
+        save_preinlet_checkpoint,
+    )
+
+    shape = (24, 12, 12)
+    dtype = jnp.float64
+    mesh, tc = _type(dtype)
+
+    walls = np.zeros(shape, np.uint8)
+    walls[:, 0, :] = FLAG_WALL
+    walls[:, -1, :] = FLAG_WALL
+    pre_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(walls), omega=1.0, types=[tc],
+        body_force=jnp.asarray([1e-5, 0, 0], dtype), dtype=dtype,
+        use_pallas=False,
+    )
+    mflags = walls.copy()
+    mflags[0, 1:-1, :] = FLAG_VELOCITY
+    main_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(mflags), omega=1.0, types=[tc],
+        dtype=dtype, use_pallas=False,
+    )
+    pre_cells = make_cell_state(
+        (mesh.vertices + np.array([20.0, 6.0, 6.0]))[None], dtype=dtype
+    )
+    far = mesh.vertices[None] + np.array([-100.0, 6.0, 6.0])
+    main_cells = make_cell_state(np.repeat(far, 2, axis=0), dtype=dtype)
+    main_cells = main_cells._replace(alive=jnp.zeros(2, bool))
+    pre_state = initial_sim_state(pre_cfg, [pre_cells])
+    main_state = initial_sim_state(main_cfg, [main_cells])
+    main_state = main_state._replace(bc_state=jnp.zeros((3,) + shape, dtype))
+
+    stepper = make_coupled_stepper(pre_cfg, main_cfg,
+                                   target_mean_velocity=1e-3)
+    st = PreInletState(
+        pre=pre_state, main=main_state,
+        body_force=jnp.asarray(1e-5, dtype),
+        crossings=initial_crossings(pre_state, shape[0]),
+    )
+    for _ in range(5):
+        st = stepper(st)
+    jax.block_until_ready(st)
+
+    save_preinlet_checkpoint(str(tmp_path), st, meta={"note": "mid"})
+    # second save exercises the .old double buffer
+    save_preinlet_checkpoint(str(tmp_path), st)
+    assert (tmp_path / "checkpoint_preinlet.npz").exists()
+    assert (tmp_path / "checkpoint_preinlet.npz.old").exists()
+
+    loaded, meta = load_preinlet_checkpoint(str(tmp_path))
+    assert int(loaded.pre.it) == int(st.pre.it) == 5
+
+    cont_a, cont_b = st, loaded
+    for _ in range(5):
+        cont_a = stepper(cont_a)
+        cont_b = stepper(cont_b)
+    jax.block_until_ready((cont_a, cont_b))
+
+    np.testing.assert_array_equal(np.asarray(cont_a.pre.f),
+                                  np.asarray(cont_b.pre.f))
+    np.testing.assert_array_equal(np.asarray(cont_a.main.f),
+                                  np.asarray(cont_b.main.f))
+    np.testing.assert_array_equal(np.asarray(cont_a.body_force),
+                                  np.asarray(cont_b.body_force))
+    for ca, cb in zip(cont_a.main.cells, cont_b.main.cells):
+        np.testing.assert_array_equal(np.asarray(ca.pos), np.asarray(cb.pos))
+        np.testing.assert_array_equal(np.asarray(ca.alive),
+                                      np.asarray(cb.alive))
+    for xa, xb in zip(cont_a.crossings, cont_b.crossings):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

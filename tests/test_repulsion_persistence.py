@@ -76,7 +76,11 @@ def test_sharded_step_carries_repulsion():
         import pytest
 
         pytest.skip("needs 8 (virtual) devices")
+    # shardmap_supported rejects spread_mode='scatter' (that's the facade's
+    # overflow fallback, routed to the GSPMD runner) — the shard_map step
+    # itself runs the Pallas IBM path
     cfg, state = _dense_cfg(repulsion_every=2)
+    cfg = dataclasses.replace(cfg, spread_mode=None)
     mesh = make_mesh(8, axes=("x",))
     run = build_shardmap_runner(cfg, mesh)
     s1 = run(shard_state(state, mesh), 1)

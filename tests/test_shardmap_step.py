@@ -31,14 +31,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _compare(cfg, state, n=5):
+def _compare(cfg, state, n=5, axes=("x",)):
     # the shard-local vertex windows change f32 reduction order, so
     # equality is to rounding (amplified by cancellation in the tiny
     # transverse velocity components), not bitwise
     ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
         state, n
     )
-    mesh = make_mesh(8, axes=("x",))
+    mesh = make_mesh(8, axes=axes)
     out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), n)
     assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
                        rtol=1e-6, atol=1e-7)
@@ -69,6 +69,33 @@ def test_walled_channel_matches():
     flags[:, :, -1] = FLAG_WALL
     cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags))
     _compare(cfg, state)
+
+
+def test_periodic_suspension_matches_2d_mesh():
+    """2-D ("x","y") mesh: lattice decomposed over X and Y, IBM ownership
+    by (x-slab, y-range), corner halos ride the two-hop exchange — must
+    match single-device exactly (ref: arbitrary block decompositions,
+    core/hemoCell.cpp:438-571)."""
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 32, 16), n_cells=3, body_force=(1e-6, 0, 0),
+        particle_every=2, material_every=4, repulsion=True, seed=3,
+    )
+    assert shardmap_supported(cfg)
+    _compare(cfg, state, axes=("x", "y"))  # 2x4 mesh
+
+
+def test_walled_channel_matches_2d_mesh():
+    """Walls + 2-D mesh: boundary renormalisation and boundary-contact
+    deletion across both sharded axes."""
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 32, 16), n_cells=3, body_force=(1e-6, 0, 0),
+        repulsion=False, seed=5,
+    )
+    flags = np.zeros((32, 32, 16), np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    flags[:, :, -1] = FLAG_WALL
+    cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags))
+    _compare(cfg, state, axes=("x", "y"))
 
 
 def test_unsupported_features_detected():
@@ -115,6 +142,19 @@ def test_shardmap_overflow_carried():
     mesh = make_mesh(8, axes=("x",))
     out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 2)
     assert int(np.asarray(out.ibm_overflow)) > 0
+
+
+def test_shardmap_no_spurious_overflow():
+    """Distributed runs park other shards' vertices in the halo-row slab;
+    those zero-payload drops must NOT count as overflow (a spurious trip
+    would permanently demote every distributed run to scatter)."""
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    mesh = make_mesh(8, axes=("x",))
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 3)
+    assert int(np.asarray(out.ibm_overflow)) == 0
 
 
 def test_distribute_overflow_fallback(tmp_path):
