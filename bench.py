@@ -43,7 +43,11 @@ def time_run(runner, state, n, repeats=3):
         t0 = time.perf_counter()
         out = runner(state, n)
         jax.block_until_ready(out)
+        # 4-byte host fetch: on the axon relay block_until_ready can return
+        # before remote execution completes (see scripts/probe_roofline.py)
+        int(out.it)
         best = min(best, time.perf_counter() - t0)
+        state = out
     return best, out
 
 

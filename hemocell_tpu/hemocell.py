@@ -646,6 +646,12 @@ class HemoCell:
 
     def block(self):
         jax.block_until_ready(self._state)
+        if self._state is not None:
+            # host-fetch a scalar leaf: on the axon relay,
+            # block_until_ready alone can return before remote execution
+            # finishes (measured in scripts/probe_roofline.py) — a 4-byte
+            # fetch of the loop-carried counter forces true completion
+            int(self._state.it)
 
     # ------------------------------------------------------------------
     # observables

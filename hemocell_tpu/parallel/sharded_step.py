@@ -526,18 +526,63 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             cells[k] = cs._replace(pos=new_pos, alive=alive,
                                    restime=restime)
 
-        # ---- 6: constitutive model (replicated) ---------------------------
+        # ---- 6: constitutive model (sharded by cell ownership) -----------
+        # The reference stores particles per block and each rank runs the
+        # model only on its own cells (core/hemoCellFields.cpp:70-111);
+        # replicating this per-vertex work would cap weak scaling (every
+        # chip paying total-suspension mechanics).  Each shard computes a
+        # contiguous block of cells; a psum at the material cadence
+        # rebuilds the replicated force exactly (zeros elsewhere, so f32
+        # addition is exact and shard-count invariant).
+        n_shards = nx * ny
+        rank = jax.lax.axis_index(axis) * ny + (
+            jax.lax.axis_index(ay) if ay else 0
+        )
         for k, (tc, cs) in enumerate(zip(cfg.types, cells)):
-            def _mech(args, tc=tc, cs=cs):
+            NC = cs.pos.shape[0]
+            blk = -(-NC // n_shards)
+
+            def _mech(args, tc=tc, cs=cs, NC=NC, blk=blk):
                 p, v = args
-                ft = jax.vmap(
-                    lambda pp, vv: tc.model_fn(
-                        pp, vv, tc.topo, tc.material
+                if n_shards == 1 or NC < n_shards:
+                    ft = jax.vmap(
+                        lambda pp, vv: tc.model_fn(
+                            pp, vv, tc.topo, tc.material
+                        ).total
+                    )(p, v)
+                    if tc.ext_force is not None:
+                        ft = ft + tc.ext_force
+                    return jnp.where(cs.alive[:, None, None], ft, 0.0)
+                NCp = blk * n_shards
+                padc = NCp - NC
+                pp_ = jnp.pad(p, ((0, padc), (0, 0), (0, 0)))
+                vv_ = jnp.pad(v, ((0, padc), (0, 0), (0, 0)))
+                al_ = jnp.pad(cs.alive, (0, padc))
+                start = rank * blk
+                pb = jax.lax.dynamic_slice_in_dim(pp_, start, blk)
+                vb = jax.lax.dynamic_slice_in_dim(vv_, start, blk)
+                ab = jax.lax.dynamic_slice_in_dim(al_, start, blk)
+                ftb = jax.vmap(
+                    lambda q, w: tc.model_fn(
+                        q, w, tc.topo, tc.material
                     ).total
-                )(p, v)
+                )(pb, vb)
                 if tc.ext_force is not None:
-                    ft = ft + tc.ext_force
-                return jnp.where(cs.alive[:, None, None], ft, 0.0)
+                    eb = jax.lax.dynamic_slice_in_dim(
+                        jnp.pad(tc.ext_force, ((0, padc), (0, 0), (0, 0)))
+                        if tc.ext_force.shape[0] == NC else tc.ext_force,
+                        start, blk,
+                    ) if tc.ext_force.ndim == 3 and \
+                        tc.ext_force.shape[0] in (NC, NCp) else tc.ext_force
+                    ftb = ftb + eb
+                # dead/padded slots may hold degenerate geometry (NaN);
+                # where (not multiply) so NaN*0 can't leak
+                ftb = jnp.where(ab[:, None, None], ftb, 0.0)
+                full = jnp.zeros((NCp,) + ftb.shape[1:], ftb.dtype)
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, ftb, start, 0
+                )
+                return jax.lax.psum(full, psum_axes)[:NC]
 
             force = _every(
                 it, tc.material_every, _mech, (cs.pos, cs.vel), cs.force

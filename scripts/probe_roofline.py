@@ -153,15 +153,18 @@ def bench(step, f, n, repeats=3):
 
     # chain the state across repeats: the axon relay caches identical-input
     # executions, so re-timing loop(f) with the same f returns instantly
-    # and reads as a bogus ~0 ms (the copy/collide rows of the original
-    # probe).  Feeding each repeat the previous output defeats the cache.
+    # and reads as a bogus ~0 ms.  Feeding each repeat the previous output
+    # defeats the cache.  Synchronise with a host FETCH (float(sum)) —
+    # block_until_ready alone does not wait for relay execution of these
+    # ablation programs (measured: "copy" read 0.002 ms/it with
+    # block_until_ready vs the true 1.59 ms with a fetch).
     f = loop(f)
-    jax.block_until_ready(f)
+    float(jnp.sum(f))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         f = loop(f)
-        jax.block_until_ready(f)
+        float(jnp.sum(f))
         best = min(best, time.perf_counter() - t0)
     return best / n
 
