@@ -36,7 +36,12 @@ def build_pipeflow(config_path: str, outdir: str | None = None) -> HemoCell:
     stl = os.path.join(cfg.directory, cfg["domain"]["geometry"].read(str))
     ref_dir_n = cfg["domain"]["refDirN"].read(int)
     ref_dir = cfg["domain"]["refDir"].read(int)
-    flags, info = voxelize_stl(stl, ref_dir_n, ref_dir)
+    # <voxelizeErode>1</voxelizeErode> tightens the lumen by one
+    # face-connected voxel (≈ Palabos `inside` without innerBorder); on the
+    # reference tube it keeps 48 cells vs 52 at the default 0 (the
+    # reference keeps 42 — PARITY.md documents the measured sensitivity).
+    erode = cfg["domain"].get("voxelizeErode", int, 0)
+    flags, info = voxelize_stl(stl, ref_dir_n, ref_dir, erode=erode)
     # pad the tube to TPU-friendly extents: X -> %8 via replicated
     # cross-section planes (exact: flow axis is periodic and x-uniform),
     # Y/Z -> lane/sublane-aligned extents via inert wall planes.  The

@@ -26,6 +26,7 @@ def voxelize_stl(
     ref_dir: int = 1,
     margin: int = 1,
     open_ends_axis: int | None = 0,
+    erode: int = 0,
 ):
     """Returns (flags uint8 [X,Y,Z], info dict)."""
     tris = _read_stl(path)  # [nt, 3, 3]
@@ -57,12 +58,36 @@ def voxelize_stl(
             _set_slice(flags, a, i, first)
             _set_slice(flags, a, shape[a] - 1 - i, last)
 
+    if erode:
+        # Palabos classifies `inside` then adds an innerBorder layer; our
+        # parity test lands between the two.  ``erode=1`` reproduces the
+        # reference's bare `inside` lumen (one face-connected voxel tighter)
+        # — on the pipeflow tube it keeps 48 of 253 candidate cells vs 52
+        # at erode=0 and the reference's 42 (measured, PARITY.md).
+        fluid = _erode6(flags == FLAG_FLUID, erode)
+        flags = np.where(fluid, FLAG_FLUID, FLAG_WALL).astype(np.uint8)
+
     info = {
         "shape": shape,
         "scale": scale,
         "fluid_fraction": float((flags == FLAG_FLUID).mean()),
     }
     return flags, info
+
+
+def _erode6(mask: np.ndarray, n: int) -> np.ndarray:
+    """Binary-erode a boolean mask by ``n`` face-connected (6-neighbour)
+    voxels.  Boundary planes replicate outward (mode='edge'), so the
+    open-ends copy along the flow axis stays open-ended after erosion."""
+    for _ in range(n):
+        p = np.pad(mask, 1, mode="edge")
+        mask = (
+            mask
+            & p[:-2, 1:-1, 1:-1] & p[2:, 1:-1, 1:-1]
+            & p[1:-1, :-2, 1:-1] & p[1:-1, 2:, 1:-1]
+            & p[1:-1, 1:-1, :-2] & p[1:-1, 1:-1, 2:]
+        )
+    return mask
 
 
 def _set_slice(arr, axis, idx, value):

@@ -96,6 +96,35 @@ def test_voxelize_tube():
     assert (flags == FLAG_WALL).sum() > 0
 
 
+def test_voxelize_erode():
+    """erode=1 tightens the lumen by exactly one face-connected layer
+    (the measured config switch closing the 52-vs-42 placement gap;
+    reference lumen: Palabos `inside` without innerBorder)."""
+    from hemocell_tpu.utils.voxelize import voxelize_stl
+
+    f0, _ = voxelize_stl("/root/reference/examples/pipeflow/tube.stl", 50, 1)
+    f1, _ = voxelize_stl(
+        "/root/reference/examples/pipeflow/tube.stl", 50, 1, erode=1
+    )
+    a0 = f0 == FLAG_FLUID
+    a1 = f1 == FLAG_FLUID
+    # strictly smaller lumen, subset of the original
+    assert a1.sum() < a0.sum()
+    assert not (a1 & ~a0).any()
+    # every removed voxel is face-adjacent to a wall in the original
+    removed = a0 & ~a1
+    p = np.pad(a0, 1, mode="edge")
+    has_wall_neighbor = ~(
+        p[:-2, 1:-1, 1:-1] & p[2:, 1:-1, 1:-1]
+        & p[1:-1, :-2, 1:-1] & p[1:-1, 2:, 1:-1]
+        & p[1:-1, 1:-1, :-2] & p[1:-1, 1:-1, 2:]
+    )
+    assert (removed <= has_wall_neighbor).all()
+    # ends still open
+    assert (f1[0] == FLAG_FLUID).sum() > 0
+    assert (f1[-1] == FLAG_FLUID).sum() > 0
+
+
 def test_pad_flags_axis():
     from hemocell_tpu.utils.voxelize import pad_flags_axis
 
