@@ -142,6 +142,12 @@ class StepConfig:
     # core/hemoCellParticle.h:188-203): 1 = Euler, 2 = Adams-Bashforth
     # (pos += 1.5 v - 0.5 v_prev; needs CellTypeState.vel_prev)
     material_integration: int = 1
+    # two-step fused fluid kernel for pure-fluid (cell-free) runs: None =
+    # auto on TPU, True forces (tests run it interpreted on CPU), False
+    # disables.  Bitwise equal to two one-pass steps at ~half the per-step
+    # HBM traffic (fluid/pallas_lbm_2x.py); coupled iterations spread a
+    # fresh IBM force every step so they cannot fuse across the fluid.
+    fluid_2x: Optional[bool] = None
     # IBM matmul precision: 'f32' (default) or 'bf16' — bf16 runs the
     # one-hot spread/interp contractions at the MXU's bf16 rate with f32
     # accumulation (~0.3% relative weight error; stretch/pipeflow oracles
@@ -1000,6 +1006,66 @@ def build_runner(cfg: StepConfig):
         cfg = dataclasses.replace(cfg, fold=K_fold)
     step = build_step(cfg)
 
+    # two-step fused fluid kernel (pure-fluid runs only): supported when
+    # the per-iteration state change is exactly {f, it} and the kernel's
+    # restrictions hold (scalar omega, canonical layout, no BCs/LE/CEPAC/
+    # interior/solidify, uniform body force)
+    use_2x = cfg.fluid_2x
+    if use_2x is None:
+        use_2x = jax.default_backend() == "tpu" and cfg.use_pallas is not False
+    use_2x = bool(
+        use_2x
+        and K_fold == 1
+        and cfg.lees_edwards_velocity is None
+        and cfg.cepac_tau is None
+        and not cfg.interior_every
+        and not cfg.solidify_every
+        and cfg.bc_velocity is None
+        and cfg.bc_density is None
+        and jnp.ndim(cfg.omega) == 0
+        and (cfg.body_force is None or np.ndim(cfg.body_force) == 1)
+    )
+    flags_any = bool(np.asarray(cfg.flags).any())
+
+    def _fluid2(s: SimState) -> SimState:
+        from .fluid.pallas_lbm_2x import stream_collide_pallas_2x
+
+        bf = (
+            s.body_force_state
+            if s.body_force_state is not None
+            else cfg.body_force
+        )
+        if bf is not None:
+            bf = jnp.asarray(bf, dtype=cfg.dtype)
+        f2 = stream_collide_pallas_2x(
+            s.f, bf, jnp.asarray(cfg.omega, cfg.dtype),
+            cfg.flags if flags_any else None,
+        )
+        return s._replace(f=f2, it=s.it + 2)
+
+    def _fluid_loop(st: SimState, n: int) -> SimState:
+        n2, rem = divmod(n, 2)
+        if n2:
+            st = jax.lax.fori_loop(0, n2, lambda _, s: _fluid2(s), st)
+        return st
+
+    def _pure_fluid_ok(state: SimState) -> bool:
+        # trace-time (pytree-structure) checks: no live vertices, no
+        # dynamic overrides the 2x path ignores
+        P0 = sum(cs.pos.shape[0] * cs.pos.shape[1] for cs in state.cells)
+        return (
+            use_2x
+            and P0 == 0
+            and state.bc_state is None
+            and state.cepac is None
+            and state.omega_field is None
+            and state.flags_state is None
+            and (
+                state.body_force_state is None
+                or np.ndim(state.body_force_state) == 1
+            )
+        )
+
     from .fluid.pallas_lbm import fold_field, unfold_field
 
     def _enter(state: SimState) -> SimState:
@@ -1029,8 +1095,14 @@ def build_runner(cfg: StepConfig):
 
         @partial(jax.jit, static_argnums=(1,), compiler_options=opts)
         def run(state: SimState, n: int) -> SimState:
+            st = _enter(state)
+            if _pure_fluid_ok(state):
+                st = _fluid_loop(st, n)
+                if n % 2:
+                    st = step(st)
+                return _exit(st)
             return _exit(
-                jax.lax.fori_loop(0, n, lambda _, s: step(s), _enter(state))
+                jax.lax.fori_loop(0, n, lambda _, s: step(s), st)
             )
 
         return run
@@ -1049,8 +1121,14 @@ def build_runner(cfg: StepConfig):
             cs.pos.shape[0] * cs.pos.shape[1] for cs in state.cells
         )
         if P0 == 0:
+            st = _enter(state)
+            if _pure_fluid_ok(state):
+                st = _fluid_loop(st, n)
+                if n % 2:
+                    st = step(st, None, None)[0]
+                return _exit(st)
             return _exit(jax.lax.fori_loop(
-                0, n, lambda _, s: step(s, None, None)[0], _enter(state)
+                0, n, lambda _, s: step(s, None, None)[0], st
             ))
         P_pad = -(-P0 // 512) * 512
         C = slab_capacity(P_pad, X)
