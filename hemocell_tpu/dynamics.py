@@ -1012,9 +1012,10 @@ def build_runner(cfg: StepConfig):
     # interior/solidify, uniform body force)
     use_2x = cfg.fluid_2x
     if use_2x is None:
-        use_2x = jax.default_backend() == "tpu" and cfg.use_pallas is not False
+        use_2x = jax.default_backend() == "tpu"
     use_2x = bool(
         use_2x
+        and cfg.use_pallas is not False
         and K_fold == 1
         and cfg.lees_edwards_velocity is None
         and cfg.cepac_tau is None
@@ -1027,26 +1028,31 @@ def build_runner(cfg: StepConfig):
     )
     flags_any = bool(np.asarray(cfg.flags).any())
 
-    def _fluid2(s: SimState) -> SimState:
+    def _fluid_loop(st: SimState, n: int) -> SimState:
+        # carry ONLY the population field through the loop: carrying the
+        # full SimState pytree was observed to nondeterministically
+        # compile to a ~0.6 ms/it slower program at 128^3 (an extra
+        # buffer copy per iteration when XLA fails to alias the pallas
+        # output into the multi-element carry) — f-only is always fast
         from .fluid.pallas_lbm_2x import stream_collide_pallas_2x
 
         bf = (
-            s.body_force_state
-            if s.body_force_state is not None
+            st.body_force_state
+            if st.body_force_state is not None
             else cfg.body_force
         )
         if bf is not None:
             bf = jnp.asarray(bf, dtype=cfg.dtype)
-        f2 = stream_collide_pallas_2x(
-            s.f, bf, jnp.asarray(cfg.omega, cfg.dtype),
-            cfg.flags if flags_any else None,
-        )
-        return s._replace(f=f2, it=s.it + 2)
+        omega = jnp.asarray(cfg.omega, cfg.dtype)
+        flags = cfg.flags if flags_any else None
 
-    def _fluid_loop(st: SimState, n: int) -> SimState:
+        def _fluid2(f):
+            return stream_collide_pallas_2x(f, bf, omega, flags)
+
         n2, rem = divmod(n, 2)
         if n2:
-            st = jax.lax.fori_loop(0, n2, lambda _, s: _fluid2(s), st)
+            f = jax.lax.fori_loop(0, n2, lambda _, ff: _fluid2(ff), st.f)
+            st = st._replace(f=f, it=st.it + 2 * n2)
         return st
 
     def _pure_fluid_ok(state: SimState) -> bool:

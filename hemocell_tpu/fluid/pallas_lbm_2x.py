@@ -7,9 +7,20 @@ faster — but fusing TWO timesteps into one pass halves the HBM round
 trips per step: each program reads its slab plus a 2-row halo per side,
 runs collide→stream twice entirely in VMEM, and writes the slab once.
 Per-step traffic drops from (tx+2)/tx·19 reads + 19 writes to
-((tx+4)/tx·19 + 19)/2 — at tx=4 that is 28.5 vs 42.75 row-channels, a
-1.5× traffic cut, and the extra collide work rides the VPU slack the
-roofline probe showed (full ≈ copy).
+((tx+4)/tx·19 + 19)/2 — at tx=4 that is 28.5 vs 47.5 row-channels
+(1.67×); at tx=8 it is 23.75 vs 42.75 (1.8×) — and the extra collide
+work rides the VPU slack the roofline probe showed (full ≈ copy).
+
+Measured on-chip (v5e, scripts/probe_2x_ab.py, 2026-08-20, n=500
+dispatch-amortised timing — shorter loops are inflated ~0.5 ms/call by
+the relay's per-dispatch overhead, see docs/PERFORMANCE.md "Timing
+methodology"): 128³ one-pass 1.082 ms/step (1.94 GLUPS) vs 2x tx=8
+0.596 ms/step (3.52 GLUPS) — a 1.82× win; 256×128² one-pass 2.103 vs
+2x 1.134 ms/step (3.70 GLUPS, 1.86×).  Both match the traffic model's
+1.8× at tx=8.  The tx sweep put tx=8 ahead of the old auto-pick tx=4
+by ~8%, so the picker budget below is calibrated to the measured
+compile boundary, not the one-pass kernel's conservative 64 MiB
+comfort budget.
 
 Scope (the fluid-only hot path — reference `lattice->collideAndStream()`,
 core/hemoCell.cpp:317, during cell-free warmup / pure-fluid runs):
@@ -95,10 +106,16 @@ def _kernel2x(tx, force_mode, has_flags, *refs):
         out[q] = _rollyz(post1[q][1 - cx : 1 - cx + tx], cy, cz)
 
 
-def _pick_tx_2x(X, Y, Z, c_in, vmem_budget=64 * 2 ** 20):
+def _pick_tx_2x(X, Y, Z, c_in, vmem_budget=96 * 2 ** 20):
     """Largest divisor of X fitting the two-step working set: double-
     buffered ins ((tx+4) rows × c_in) and out (tx × 19), plus the ext
-    concat, the f1 intermediate and one post set (~3×(tx+4)×19 rows)."""
+    concat, the f1 intermediate and one post set (~3×(tx+4)×19 rows).
+
+    The 96 MiB budget is calibrated on-chip: tx=8 at a 128×128 cross
+    section (model cost 94.6 MiB) compiles and is the fastest point of
+    the probe_2x_ab.py sweep — the model over-counts because Mosaic
+    fuses the post-collision temporaries instead of materialising all
+    three 19-row sets."""
     yp = -(-Y // 8) * 8
     zp = -(-Z // 128) * 128
     row = yp * zp * 4
@@ -110,6 +127,11 @@ def _pick_tx_2x(X, Y, Z, c_in, vmem_budget=64 * 2 ** 20):
     for tx in range(1, X + 1):
         if X % tx == 0 and need(tx) < vmem_budget:
             best = tx
+    if best == 0 and need(1) < 100 * 2 ** 20:
+        # over the comfort budget but inside the hard scoped-VMEM limit:
+        # a single-row two-step slab still halves HBM traffic vs two
+        # one-pass calls (mirrors pallas_lbm._pick_tx's escape hatch)
+        best = 1
     return best
 
 

@@ -64,7 +64,7 @@ def voxelize_stl(
         # reference's bare `inside` lumen (one face-connected voxel tighter)
         # — on the pipeflow tube it keeps 48 of 253 candidate cells vs 52
         # at erode=0 and the reference's 42 (measured, PARITY.md).
-        fluid = _erode6(flags == FLAG_FLUID, erode)
+        fluid = _erode6(flags == FLAG_FLUID, erode, open_axis=open_ends_axis)
         flags = np.where(fluid, FLAG_FLUID, FLAG_WALL).astype(np.uint8)
 
     info = {
@@ -75,12 +75,22 @@ def voxelize_stl(
     return flags, info
 
 
-def _erode6(mask: np.ndarray, n: int) -> np.ndarray:
+def _erode6(mask: np.ndarray, n: int, open_axis: int | None = 0) -> np.ndarray:
     """Binary-erode a boolean mask by ``n`` face-connected (6-neighbour)
-    voxels.  Boundary planes replicate outward (mode='edge'), so the
-    open-ends copy along the flow axis stays open-ended after erosion."""
+    voxels.  Only the ``open_axis`` (flow-axis) boundary planes replicate
+    outward (mode='edge') so the open-ends copy stays open-ended after
+    erosion; all other axes pad with False (wall outside the domain), so a
+    lumen touching a transverse border IS eroded from outside (ADVICE r03:
+    'edge' on all axes silently under-eroded such geometries)."""
+    pad_mode = [
+        (1, 1) if ax == open_axis else (0, 0) for ax in range(mask.ndim)
+    ]
+    wall_pad = [
+        (0, 0) if ax == open_axis else (1, 1) for ax in range(mask.ndim)
+    ]
     for _ in range(n):
-        p = np.pad(mask, 1, mode="edge")
+        p = np.pad(mask, pad_mode, mode="edge")
+        p = np.pad(p, wall_pad, mode="constant", constant_values=False)
         mask = (
             mask
             & p[:-2, 1:-1, 1:-1] & p[2:, 1:-1, 1:-1]
