@@ -1148,7 +1148,7 @@ class HemoCell:
         if w is not None:
             w.flush()
 
-    def profile_phases(self, n: int = 20, repeats: int = 3):
+    def profile_phases(self, n: int = 100, repeats: int = 3):
         """Reference-style per-phase breakdown of the coupled step
         (helper/profiler.cpp:138-180 wraps every iterate phase in a timer).
 
@@ -1181,20 +1181,30 @@ class HemoCell:
         shape = tuple(int(s) for s in self.shape)
         on_tpu = jax.default_backend() == "tpu"
 
+        def _sync(x):
+            # host fetch of a scalar that depends on x: on the axon relay
+            # block_until_ready can return before remote execution
+            # completes (docs/PERFORMANCE.md "Timing methodology")
+            leaf = _jax.tree_util.tree_leaves(x)[0]
+            float(jnp.asarray(leaf).ravel()[0])
+
         def timeit(fn, x0):
             # chain the carry across repeats: the axon relay caches
             # identical-input executions (see scripts/probe_roofline.py),
             # so re-timing fn(x0) with the same operand can return from
-            # cache and report a bogus near-zero time
+            # cache and report a bogus near-zero time.  Two calls are
+            # chained per sync so the ~25 ms relay dispatch+fetch cost
+            # amortises over 2n iterations.
             x = fn(x0)
-            _jax.block_until_ready(x)  # compile + warm
+            _sync(x)  # compile + warm
             best = float("inf")
             for _ in range(repeats):
                 t0 = _time.perf_counter()
                 x = fn(x)
-                _jax.block_until_ready(x)
+                x = fn(x)
+                _sync(x)
                 best = min(best, _time.perf_counter() - t0)
-            return best / n
+            return best / (2 * n)
 
         results = {}
         results["total (iterate)"] = timeit(lambda s: self._runner(s, n), st)
