@@ -440,9 +440,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 alive_cur = jnp.concatenate([cs.alive for cs in cells])
 
                 def _resync(_):
+                    # global cell ids ride pos_cm row 3 for the wall-hit
+                    # kernel's in-kernel per-cell reduction
+                    cid_pad = jnp.pad(
+                        cell_gid, (0, pad), constant_values=-1
+                    ).astype(cfg.dtype)
                     plan = build_ibm_plan(
                         pos_w, shape, ibm_capacity, payload=fdep,
-                        subdiv=SHADOW_SUBDIV,
+                        subdiv=SHADOW_SUBDIV, aux=cid_pad,
                     )
                     vel0 = jnp.pad(
                         jnp.concatenate(
@@ -868,29 +873,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             flags = flags_new
 
         # ---- 5: advance + boundary-contact deletion -----------------------
-        for k, cs in enumerate(cells):
-            if cfg.material_integration == 2 and cs.vel_prev is not None:
-                # Adams-Bashforth (hemoCellParticle.h:197-200)
-                new_pos = cs.pos + 1.5 * cs.vel - 0.5 * cs.vel_prev
-                cs = cs._replace(vel_prev=cs.vel)
-            else:
-                new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
-            if has_boundaries:
-                nc, nv = new_pos.shape[0], new_pos.shape[1]
-                hit = coupling.on_boundary(
-                    jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), flags
-                ).reshape(nc, nv)
-                alive = cs.alive & ~jnp.any(hit, axis=1)
-            else:
-                alive = cs.alive
-            restime = cs.restime
-            if restime is not None:
-                # residence time: iterations alive (hemoCellParticle.h:45-63)
-                restime = restime + alive.astype(jnp.int32)
-            cells[k] = cs._replace(pos=new_pos, alive=alive, restime=restime)
-
-        # shadow advance: same Euler update in the sorted layout (positions
-        # drift unwrapped; the widened kernel windows absorb it)
+        # shadow advance FIRST (same Euler update in the sorted layout;
+        # positions drift unwrapped, the widened kernel windows absorb it):
+        # the advanced pos_cm mirrors new_pos bit-for-bit, so the wall-hit
+        # kernel below tests the same post-advance positions the reference
+        # tests (core/hemoCellParticleField.cpp:566-588)
+        hit_counts = None
         if shadow_mode and new_shadow is not None and \
                 isinstance(new_shadow, IbmShadow):
             plan2 = new_shadow.plan._replace(
@@ -899,6 +887,43 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 )
             )
             new_shadow = new_shadow._replace(plan=plan2)
+            if has_boundaries and pos_flat is not None and use_pallas_ibm:
+                # per-cell wall-contact counts via the Pallas nearest-node
+                # kernel: replaces a [P] arbitrary flags gather that
+                # measured 1.86 ms/it (47% of the step) on pipeflow30
+                from .ibm.pallas_ibm import pallas_wall_hit_cells
+
+                wall01 = (flags != 0).astype(cfg.dtype)
+                hit_counts = pallas_wall_hit_cells(
+                    plan2, wall01, shape, ibm_capacity,
+                    n_cells=sum(cs.pos.shape[0] for cs in cells),
+                )
+
+        cell_off = 0
+        for k, cs in enumerate(cells):
+            if cfg.material_integration == 2 and cs.vel_prev is not None:
+                # Adams-Bashforth (hemoCellParticle.h:197-200)
+                new_pos = cs.pos + 1.5 * cs.vel - 0.5 * cs.vel_prev
+                cs = cs._replace(vel_prev=cs.vel)
+            else:
+                new_pos = cs.pos + cs.vel  # Euler (hemoCellParticle.h:188-203)
+            nc, nv = new_pos.shape[0], new_pos.shape[1]
+            if has_boundaries and hit_counts is not None:
+                cell_hit = hit_counts[cell_off: cell_off + nc] > 0.5
+                alive = cs.alive & ~cell_hit
+            elif has_boundaries:
+                hit = coupling.on_boundary(
+                    jnp.mod(new_pos.reshape(-1, 3), fshape[None, :]), flags
+                ).reshape(nc, nv)
+                alive = cs.alive & ~jnp.any(hit, axis=1)
+            else:
+                alive = cs.alive
+            cell_off += nc
+            restime = cs.restime
+            if restime is not None:
+                # residence time: iterations alive (hemoCellParticle.h:45-63)
+                restime = restime + alive.astype(jnp.int32)
+            cells[k] = cs._replace(pos=new_pos, alive=alive, restime=restime)
 
         # ---- 6: constitutive model ----------------------------------------
         for k, (tc, cs) in enumerate(zip(cfg.types, cells)):

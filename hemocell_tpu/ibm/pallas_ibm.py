@@ -166,7 +166,7 @@ class IbmPlanT(NamedTuple):
 
 
 def build_ibm_plan(pos, shape, capacity, payload=None,
-                   subdiv=1, overflow_slabs=None) -> IbmPlanT:
+                   subdiv=1, overflow_slabs=None, aux=None) -> IbmPlanT:
     """One multi-operand lax.sort carries positions (and optionally a
     [P,3] payload, e.g. the spread forces) along with the slab keys —
     measurably faster than argsort + separate row gathers on TPU.
@@ -178,7 +178,11 @@ def build_ibm_plan(pos, shape, capacity, payload=None,
     ``overflow_slabs`` restricts the overflow count to the first N slabs:
     the sharded step (parallel/sharded_step.py) parks other shards' vertices
     in the final (halo-row) slab, whose zero-payload drops are harmless by
-    construction and must not trip the facade's corruption guard."""
+    construction and must not trip the facade's corruption guard.
+
+    ``aux`` (a [P] float array, e.g. global cell ids) rides the sort and is
+    stored in pos_cm row 3 (otherwise unused padding) — the wall-contact
+    kernel (pallas_wall_hit_cells) reduces per cell from it in-kernel."""
     X, Y, Z = (int(s) for s in shape)
     P = pos.shape[0]
     C = capacity
@@ -191,6 +195,8 @@ def build_ibm_plan(pos, shape, capacity, payload=None,
     operands = [ix, p[:, 0], p[:, 1], p[:, 2]]
     if payload is not None:
         operands += [payload[:, 0], payload[:, 1], payload[:, 2]]
+    if aux is not None:
+        operands.append(aux)
     operands.append(iota)
     out = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
     ix_s = out[0]
@@ -210,6 +216,9 @@ def build_ibm_plan(pos, shape, capacity, payload=None,
     pos_cm = pos_cm.at[0, :P].set(jnp.clip(out[1], 0.0, X - 1e-6))
     pos_cm = pos_cm.at[1, :P].set(out[2])
     pos_cm = pos_cm.at[2, :P].set(out[3])
+    if aux is not None:
+        pos_cm = pos_cm.at[3, :P].set(out[-2])
+        pos_cm = pos_cm.at[3, P:].set(-1.0)  # tail matches no cell id
     pos_cm = pos_cm.at[0, P:].set(-1.0)  # tail never matches a slab
     payload_cm = None
     if payload is not None:
@@ -725,6 +734,107 @@ def pallas_interp_shadow(plan, u, shape, capacity, interpret=None, mm="f32"):
         tuple([plan.order] + cols_sorted), num_keys=1, is_stable=True
     )
     return jnp.stack(unsorted[1:], axis=1), vals_cm
+
+
+def _hit_kernel(C, CH, X, Y, Z, NCp, M, E, starts_ref, pos_hbm, w_lo, w_hi,
+                out_ref, pos_v2, sem_p):
+    """Per-cell wall-contact counts over the shadow windows.
+
+    Samples the wall indicator at each vertex's NEAREST lattice node
+    (the reference deletion criterion flags[round(p)] != FLUID,
+    core/hemoCellParticleField.cpp:566-588) by swapping the trilinear
+    weights for nearest-node one-hots — the claim structure (mine =
+    floor(px) == g) and the two loaded x-planes are identical to
+    _interp_kernel, so window coverage/drift bounds are inherited.  The
+    per-cell reduction happens IN-KERNEL via a cellId one-hot contraction
+    (ids from pos_cm row 3), so no [P] unsort or scatter ever runs."""
+    g = pl.program_id(0) - (1 if E else 0)
+    al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
+    out_ref[0] = jnp.zeros((8, NCp), out_ref.dtype)
+
+    (pos_v,) = _prefetched_window(
+        starts_ref, X, M, E, C, (pos_hbm,), (pos_v2,), (sem_p,),
+    )
+    w_pair = jnp.concatenate([w_lo[0, 0], w_hi[0, 0]], axis=1)  # [Y, 2Z]
+
+    def _chunk(ci, carry):
+        sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
+        p4 = pos_v[:, sl]  # [4, CH]
+        px, py, pz, cid = p4[0:1], p4[1:2], p4[2:3], p4[3:4]
+        mine = (jnp.floor(px).astype(jnp.int32) == g).astype(px.dtype)
+        hi_x = (px - jnp.floor(px)) >= 0.5  # nearest x-plane is g+1
+        ny = jnp.mod(jnp.floor(py + 0.5).astype(jnp.int32), Y)
+        nz = jnp.mod(jnp.floor(pz + 0.5).astype(jnp.int32), Z)
+        ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, CH), 0)
+        Sy = (ids_y == ny).astype(px.dtype)  # [Y, CH]
+        ids_2z = jax.lax.broadcasted_iota(jnp.int32, (2 * Z, CH), 0)
+        in_hi = ids_2z >= Z
+        Sz = ((jnp.mod(ids_2z, Z) == nz) & (in_hi == hi_x)).astype(px.dtype)
+        t = jax.lax.dot_general(
+            w_pair, Sz, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=px.dtype,
+        )  # [Y, CH]
+        hit = jnp.sum(Sy * t, axis=0, keepdims=True) * mine  # [1, CH]
+        ids_c = jax.lax.broadcasted_iota(jnp.int32, (CH, NCp), 1)
+        oh = (ids_c == cid.astype(jnp.int32).reshape(CH, 1)).astype(px.dtype)
+        acc = jax.lax.dot_general(
+            hit, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=px.dtype,
+        )  # [1, NCp]
+        out_ref[0, 0:1] += acc
+        return carry
+
+    jax.lax.fori_loop(0, nch, _chunk, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "capacity", "n_cells", "interpret")
+)
+def pallas_wall_hit_cells(plan, wall, shape, capacity, n_cells,
+                          interpret=None):
+    """Per-cell count of vertices whose nearest lattice node is a wall.
+
+    Replaces the [P]-element arbitrary flags gather of the boundary-contact
+    deletion (coupling.on_boundary) — measured 1.86 ms/it at 147k vertices
+    on pipeflow30, 47% of the whole coupled step.  ``plan`` must be a
+    shadow plan whose pos_cm row 3 carries global cell ids
+    (build_ibm_plan(..., aux=cid)); ``wall`` is a [X,Y,Z] 0/1 indicator of
+    non-fluid nodes.  Returns counts [n_cells] (f32; exact integers)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    X, Y, Z = (int(s) for s in shape)
+    C = capacity
+    NCp = -(-max(1, int(n_cells)) // 128) * 128
+    dtype = plan.pos_cm.dtype
+    w_x = wall.astype(dtype)[:, None]  # [X, 1, Y, Z]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, Y, Z), lambda q, s: ((q - 1 + X) % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Y, Z), lambda q, s: (q % X, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, NCp), lambda q, s: (q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _hit_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, NCp, SUBDIV, EXTRA
+    )
+    blocks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((X + 2, 8, NCp), dtype),
+        interpret=interpret,
+    )(plan.starts, plan.pos_cm, w_x, w_x)
+    return jnp.sum(blocks[:, 0], axis=0)[: int(n_cells)]
 
 
 # ---------------------------------------------------------------------------

@@ -97,3 +97,118 @@ def test_bf16_matmul_option_close_to_f32():
     vb, _ = pallas_interp(pos, u, shape, capacity=512, interpret=True,
                           mm="bf16")
     assert float(jnp.abs(va - vb).max()) < 0.02 * float(jnp.abs(va).max())
+
+
+def test_wall_hit_cells_matches_on_boundary():
+    """pallas_wall_hit_cells (nearest-node wall sampling + in-kernel
+    per-cell reduction) must reproduce coupling.on_boundary's per-cell
+    ANY exactly — it replaces the [P] flags gather in the deletion phase
+    (reference criterion: core/hemoCellParticleField.cpp:566-588)."""
+    from hemocell_tpu.ibm.pallas_ibm import (
+        SUBDIV,
+        build_ibm_plan,
+        pallas_wall_hit_cells,
+        slab_capacity,
+    )
+
+    key = jax.random.PRNGKey(7)
+    shape = (16, 16, 128)
+    nc, nv = 37, 40
+    P0 = nc * nv
+    pos = jax.random.uniform(key, (P0, 3), jnp.float32) * 18.0 - 1.0
+    # walls: a y-ring plus scattered random wall nodes
+    flags = np.zeros(shape, np.uint8)
+    flags[:, 0, :] = 1
+    flags[:, -1, :] = 1
+    rng = np.random.default_rng(3)
+    flags[
+        rng.integers(0, shape[0], 200),
+        rng.integers(0, shape[1], 200),
+        rng.integers(0, shape[2], 200),
+    ] = 1
+    flags = jnp.asarray(flags)
+
+    P_pad = -(-P0 // 512) * 512
+    pad = P_pad - P0
+    fshape = jnp.asarray(shape, jnp.float32)
+    pos_pad = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=0.5)
+    pos_w = jnp.mod(pos_pad, fshape[None, :])
+    cid = jnp.pad(
+        jnp.repeat(jnp.arange(nc, dtype=jnp.int32), nv),
+        (0, pad), constant_values=-1,
+    ).astype(jnp.float32)
+    cap = slab_capacity(P_pad, shape[0])
+    plan = build_ibm_plan(pos_w, shape, cap, subdiv=SUBDIV,
+                          aux=cid, payload=jnp.zeros((P_pad, 3), jnp.float32))
+    counts = pallas_wall_hit_cells(
+        plan, (flags != 0).astype(jnp.float32), shape, cap, n_cells=nc,
+        interpret=True,
+    )
+
+    hit_ref = coupling.on_boundary(pos_w[:P0], flags).reshape(nc, nv)
+    np.testing.assert_array_equal(
+        np.asarray(counts > 0.5), np.asarray(jnp.any(hit_ref, axis=1))
+    )
+    # counts are exact integers: total hits per cell
+    np.testing.assert_allclose(
+        np.asarray(counts), np.asarray(jnp.sum(hit_ref, axis=1)), atol=0
+    )
+
+
+def test_wall_hit_cells_drifted_plan():
+    """Drifted shadow positions (pos_cm advanced in place, incl. across the
+    periodic x faces into the virtual slabs) keep the hit test exact."""
+    from hemocell_tpu.ibm.pallas_ibm import (
+        SUBDIV,
+        build_ibm_plan,
+        pallas_wall_hit_cells,
+        slab_capacity,
+    )
+
+    key = jax.random.PRNGKey(11)
+    shape = (8, 8, 128)
+    nc, nv = 11, 50
+    P0 = nc * nv
+    pos = jax.random.uniform(key, (P0, 3), jnp.float32) * 7.9
+    flags = np.zeros(shape, np.uint8)
+    flags[:, :, 0] = 1
+    rng = np.random.default_rng(5)
+    flags[
+        rng.integers(0, 8, 60), rng.integers(0, 8, 60),
+        rng.integers(0, 128, 60),
+    ] = 1
+    flags = jnp.asarray(flags)
+
+    P_pad = -(-P0 // 512) * 512
+    pad = P_pad - P0
+    fshape = jnp.asarray(shape, jnp.float32)
+    pos_w = jnp.mod(jnp.pad(pos, ((0, pad), (0, 0)), constant_values=0.5),
+                    fshape[None, :])
+    cid = jnp.pad(
+        jnp.repeat(jnp.arange(nc, dtype=jnp.int32), nv),
+        (0, pad), constant_values=-1,
+    ).astype(jnp.float32)
+    cap = slab_capacity(P_pad, shape[0])
+    plan = build_ibm_plan(pos_w, shape, cap, subdiv=SUBDIV, aux=cid,
+                          payload=jnp.zeros((P_pad, 3), jnp.float32))
+    # drift: within the shadow bound (EXTRA-1)/SUBDIV = 0.125 lu
+    drift = (jax.random.uniform(key, (3, P_pad + cap), jnp.float32) - 0.5) \
+        * 0.2
+    plan2 = plan._replace(pos_cm=plan.pos_cm.at[:3].add(drift))
+    counts = pallas_wall_hit_cells(
+        plan2, (flags != 0).astype(jnp.float32), shape, cap, n_cells=nc,
+        interpret=True,
+    )
+    # reference on the same drifted positions, recovered via the order
+    pos_drifted_sorted = plan2.pos_cm[:3, : P_pad].T  # [P,3] sorted order
+    cid_sorted = plan2.pos_cm[3, :P_pad]
+    hit_s = coupling.on_boundary(
+        jnp.mod(pos_drifted_sorted, fshape[None, :]), flags
+    )
+    ref = np.zeros(nc)
+    cs = np.asarray(cid_sorted).astype(int)
+    hs = np.asarray(hit_s)
+    for i in range(P_pad):
+        if cs[i] >= 0:
+            ref[cs[i]] += hs[i]
+    np.testing.assert_allclose(np.asarray(counts), ref, atol=0)
