@@ -306,6 +306,10 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
             hfl_lo, hfl_hi = take(2)
             flags_lo = sel(flags_lo, hfl_lo, first)
             flags_hi = sel(flags_hi, hfl_hi, last)
+        if omega_is_field:
+            hom_lo, hom_hi = take(2)
+            om_lo = sel(om_lo, hom_lo, first)
+            om_hi = sel(om_hi, hom_hi, last)
         if has_bc:
             hbc_lo, hbc_hi = take(2)
             bc_lo = sel(bc_lo, hbc_lo, first)
@@ -524,10 +528,14 @@ def stream_collide_pallas(
     has_le = le_planes is not None
     has_halos = halos is not None
     if has_halos:
-        assert fold == 1 and not has_le and not omega_is_field, (
-            "halo mode supports canonical layout with scalar omega"
+        assert fold == 1 and not has_le, (
+            "halo mode supports the canonical (unfolded, non-LE) layout"
         )
         assert "f" in halos, "halos requires the 'f' (lo, hi) row pair"
+        if omega_is_field:
+            assert "omega" in halos, (
+                "halo mode with an omega field needs the 'omega' row pair"
+            )
 
     c_in = (19 + (3 if force_mode == "field" else 0) + (1 if has_flags else 0)
             + (1 if omega_is_field else 0) + (3 if has_bc else 0))
@@ -572,6 +580,8 @@ def stream_collide_pallas(
                 force = ext(force, "force", 1)
             if has_flags:
                 flags = ext(flags, "flags", 0)
+            if omega_is_field:
+                omega = ext(omega_arr, "omega", 0)
             if has_bc:
                 bc_velocity = ext(bc_velocity, "bc", 1)
             X = X + 2
@@ -697,6 +707,8 @@ def stream_collide_pallas(
             halos = dict(halos)
             halos["flags"] = (lo.astype(jnp.int32), hi.astype(jnp.int32))
             args += add_halo("flags", 1, 3)
+        if omega_is_field:
+            args += add_halo("omega", 1, 3)
         if has_bc:
             args += add_halo("bc", 3, 4)
     if not omega_is_field:

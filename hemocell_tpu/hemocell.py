@@ -470,7 +470,37 @@ class HemoCell:
             divisible = self.shape[0] % int(mesh.shape[names[0]]) == 0
             if len(names) > 1:
                 divisible &= self.shape[1] % int(mesh.shape[names[1]]) == 0
-            if shardmap_supported(cfg) and len(names) <= 2 and divisible:
+            owner_ok = False
+            if (
+                getattr(self, "particle_sharding", None) == "owner"
+                and len(names) == 1 and divisible
+            ):
+                # owner-computes particle sharding (opt-in): per-shard cell
+                # tables, O(P/N) particle work (parallel/owner_step.py)
+                from .parallel.owner_step import (
+                    build_owner_runner,
+                    owner_supported,
+                    suggest_envelope,
+                )
+
+                nxm = int(mesh.shape[names[0]])
+                n_cells = sum(cs.pos.shape[0] for cs in self.cell_states)
+                env = suggest_envelope(
+                    self.cell_states, resort_every=cfg.resort_every
+                )
+                xl = self.shape[0] // nxm
+                if (
+                    owner_supported(cfg, n_cells) and nxm >= 2
+                    and xl >= env and self.shape[0] - xl >= 2 * env
+                ):
+                    self._runner = build_owner_runner(
+                        cfg, mesh, envelope=env
+                    )
+                    owner_ok = True
+            if owner_ok:
+                pass
+            elif shardmap_supported(cfg, mesh) and len(names) <= 2 \
+                    and divisible:
                 self._runner = build_shardmap_runner(cfg, mesh)
             else:
                 # GSPMD auto-partition covers the full feature set
@@ -530,14 +560,24 @@ class HemoCell:
 
         return auto_resort_every(u_max)
 
-    def distribute(self, n_devices: int | None = None, mesh=None):
+    def distribute(self, n_devices: int | None = None, mesh=None,
+                   particle_sharding: str | None = None):
         """Run the simulation domain-decomposed over a device mesh — the
         analog of launching the reference under ``mpirun -n N``
         (core/hemoCell.cpp:438-571).  Uses the explicit shard_map step
         (per-shard Pallas kernels + ppermute halo exchange) when the
-        feature set allows, else the GSPMD auto-partitioned step."""
+        feature set allows, else the GSPMD auto-partitioned step.
+
+        ``particle_sharding='owner'`` opts into per-shard cell ownership
+        (parallel/owner_step.py): particle work scales O(P/N) like the
+        reference's per-block particle fields, with envelope-halo
+        ppermutes replacing the MPI particle protocol.  Falls back to the
+        replicated shard_map step when the feature set or geometry doesn't
+        allow it."""
         from .parallel import make_mesh, shard_state
 
+        if particle_sharding is not None:
+            self.particle_sharding = particle_sharding
         self._mesh = mesh if mesh is not None else make_mesh(
             n_devices, axes=("x",)
         )

@@ -31,10 +31,12 @@ particle envelopes (core/hemoCell.cpp:438-571, core/hemoCellFields.cpp:
     to the lattice).
 
 Supported feature subset: body force (vector), walls + moving bounce-back
-velocity BC, inter-cell + boundary repulsion, timescale separation, force
-cap, boundary-contact deletion, restime.  Lees-Edwards, CEPAC, interior
-viscosity, solidify and preInlet dynamic overrides fall back to the GSPMD
-runner (parallel/sharding.py).
+velocity BC, pressure outlets (node-local density Dirichlet), CEPAC
+(second lattice, same halo pattern), interior viscosity (slab-local omega
+updates + omega halo rows; 1-D meshes), inter-cell + boundary repulsion,
+timescale separation, force cap, boundary-contact deletion, restime.
+Lees-Edwards, solidify and preInlet dynamic overrides fall back to the
+GSPMD runner (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -61,20 +63,30 @@ from ..ibm.pallas_ibm import (
 from ..config.defaults import FLAG_FLUID
 
 
-def shardmap_supported(cfg: StepConfig) -> bool:
-    """True when the explicit shard_map step covers this configuration."""
+def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
+    """True when the explicit shard_map step covers this configuration.
+
+    r04 widened the fast path: pressure outlets (node-local density
+    Dirichlet), CEPAC (second lattice, same two-hop halo pattern) and
+    interior viscosity (slab-local omega updates + omega halo rows — 1-D
+    meshes) now ride shard_map; only Lees-Edwards and solidify remain on
+    the GSPMD runner (reference: every feature under any decomposition,
+    core/hemoCell.cpp:438-571)."""
     if cfg.spread_mode == "scatter":
         # the facade's overflow guard falls back to the exact XLA scatter
         # IBM; this path is Pallas-slab only, so route to the GSPMD runner
         return False
     if cfg.lees_edwards_velocity is not None:
         return False
-    if cfg.cepac_tau is not None or cfg.interior_every or cfg.solidify_every:
+    if cfg.solidify_every:
+        return False
+    if cfg.interior_every and mesh is not None and (
+        len(mesh.axis_names) > 1
+        and int(mesh.shape[mesh.axis_names[1]]) > 1
+    ):
+        # slab-local omega updates are 1-D (x) only so far
         return False
     if cfg.body_force is not None and jnp.asarray(cfg.body_force).ndim != 1:
-        return False
-    if cfg.bc_density is not None:
-        # pressure outlets ride the generic GSPMD runner for now
         return False
     return True
 
@@ -134,7 +146,8 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
     ``mesh`` may be 1-D (x) or 2-D (x, y); ``axis`` names the x mesh axis.
     """
-    assert shardmap_supported(cfg), "unsupported features for shard_map step"
+    assert shardmap_supported(cfg, mesh), \
+        "unsupported features for shard_map step"
     shape = tuple(int(s) for s in cfg.shape)
     X, Y, Z = shape
     axes = tuple(mesh.axis_names)
@@ -155,7 +168,8 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    def local_step(state: SimState, flags_l, bc_l) -> SimState:
+    def local_step(state: SimState, flags_l, bc_l, cep_mask_l=None,
+                   cep_val_l=None) -> SimState:
         it = state.it
         cells = list(state.cells)
         x0 = (jax.lax.axis_index(axis) * Xl).astype(dtype)
@@ -341,6 +355,52 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 field_l = field_l * fluid_mask_l[None]
             force_field = _mat_force(force_field) + field_l
 
+        # ---- 2b: interior viscosity omega field (slab-local updates) -----
+        # reference two-timescale scheme (core/hemoCellParticleField.cpp:
+        # 746-807): rare full raycast + cheap membrane-normal sweep.  Cells
+        # are replicated, so each shard recomputes the update restricted to
+        # its own x-slab (out-of-slab scatter indices drop under jit).
+        omega_field_new = state.omega_field
+        if cfg.interior_every and state.omega_field is not None:
+            from ..cells.interior import interior_mask, membrane_omega_update
+
+            x0i = jax.lax.axis_index(axis) * Xl
+
+            def _om_recompute(_):
+                om_l = jnp.full((Xl, Y, Z), cfg.omega, dtype=dtype)
+                for tc, cs in zip(cfg.types, cells):
+                    if tc.omega_interior is None:
+                        continue
+                    m = interior_mask(
+                        cs.pos, tc.topo["tri"], cs.alive, shape,
+                        tc.interior_box, x_origin=x0i, x_extent=Xl,
+                    )
+                    om_l = jnp.where(m, tc.omega_interior, om_l)
+                return om_l
+
+            entire = cfg.interior_entire_every or cfg.interior_every
+            omega_field_new = _every(
+                it, entire, _om_recompute, None, state.omega_field
+            )
+            if cfg.interior_entire_every and entire != cfg.interior_every:
+
+                def _om_membrane(om_l):
+                    for tc, cs in zip(cfg.types, cells):
+                        if tc.omega_interior is None:
+                            continue
+                        om_l = membrane_omega_update(
+                            om_l, cs.pos, tc.topo["tri"], cs.alive,
+                            tc.omega_interior, cfg.omega,
+                            tc.topo["edge_mean_eq"], shape,
+                            x_origin=x0i, x_extent=Xl,
+                        )
+                    return om_l
+
+                omega_field_new = _every(
+                    it, cfg.interior_every, _om_membrane,
+                    omega_field_new, omega_field_new,
+                )
+
         # ---- 3: fluid stream-collide with ppermute'd halo layers ---------
         # 2-D mesh: extend every operand with y ghost columns first; the
         # x halo-row operands are taken from the y-extended blocks, so the
@@ -386,6 +446,13 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                                  perm=_bwd(axis)),
             )
         om = jnp.asarray(cfg.omega, dtype)
+        om_halo = None
+        if omega_field_new is not None:
+            om = omega_field_new  # [Xl, Y, Z] per-node relaxation
+            om_halo = (
+                jax.lax.ppermute(om[None, -1:], axis, perm=_fwd(axis))[0],
+                jax.lax.ppermute(om[None, :1], axis, perm=_bwd(axis))[0],
+            )
         if use_pallas:
             # halo rows ride as 1-row kernel operands (no [Q, Xl+2, ..]
             # concatenate copy of f, and _pick_tx tiles the local block
@@ -395,6 +462,8 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 halos["force"] = fo_halo
             if flg_halo is not None:
                 halos["flags"] = flg_halo
+            if om_halo is not None:
+                halos["omega"] = om_halo
             if bc_halo is not None:
                 halos["bc"] = bc_halo
             f_new = stream_collide_pallas(
@@ -403,6 +472,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 om,
                 flags_op if not all_fluid else None,
                 bc_op,
+                bc_density=cfg.bc_density,
                 halos=halos,
             )
             if ay:
@@ -429,12 +499,53 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             if bc_halo is not None:
                 bc_ext = jnp.concatenate([bc_halo[0], bc_op, bc_halo[1]],
                                          axis=1)
+            om_j = om
+            if om_halo is not None:
+                om_j = jnp.concatenate([om_halo[0], om, om_halo[1]], axis=0)
             f_out_ext = lbm.stream_collide(
-                f_ext, force_j, om, flags_j, bc_ext
+                f_ext, force_j, om_j, flags_j, bc_ext,
+                bc_density=cfg.bc_density,
             )
             f_new = f_out_ext[:, 1:-1]
             if ay:
                 f_new = f_new[:, :, 1:-1]
+
+        # ---- 3b: CEPAC advection-diffusion (one-way velocity coupling) ----
+        # second lattice, same halo pattern as f: two-hop y-then-x ghost
+        # extension covers the D3Q19 diagonal movers' corners
+        cepac_new = state.cepac
+        if cfg.cepac_tau is not None and state.cepac is not None:
+            from ..fluid.advection_diffusion import ad_stream_collide
+
+            def _x_ext(arr, d):
+                return jnp.concatenate(
+                    [_from_prev(arr, axis, d), arr,
+                     _from_next(arr, axis, d)], axis=d,
+                )
+
+            def _full_ext(arr, d):
+                m = _yext(arr, ay, d + 1) if ay else arr
+                return _x_ext(m, d)
+
+            f_ext2 = _full_ext(f_new, 1)
+            if force_field is not None:
+                force_ext2 = _full_ext(force_field, 1)
+            elif bf_uniform is not None:
+                force_ext2 = bf_uniform[:, None, None, None]
+            else:
+                force_ext2 = jnp.zeros(3, dtype)[:, None, None, None]
+            _, u_ext2 = lbm.macroscopic(f_ext2, force_ext2)
+            g_ext = _full_ext(state.cepac, 1)
+            m_ext = v_ext = None
+            if cep_mask_l is not None:
+                m_ext = _full_ext(cep_mask_l[None], 1)[0]
+                v_ext = _full_ext(cep_val_l[None], 1)[0]
+            g_out = ad_stream_collide(
+                g_ext, u_ext2, cfg.cepac_tau, m_ext, v_ext
+            )[:, 1:-1]
+            if ay:
+                g_out = g_out[:, :, 1:-1]
+            cepac_new = g_out
 
         # ---- 4: interpolate (owner shard + psum) -------------------------
         if pos_flat is not None:
@@ -596,7 +707,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             ov_new = jnp.maximum(ov_new, step_overflow)
         return SimState(
             f=f_new, it=it + 1, cells=tuple(cells),
-            cepac=None, omega_field=None, flags_state=None,
+            cepac=cepac_new, omega_field=omega_field_new, flags_state=None,
             binding_mask=None, bc_state=None, body_force_state=None,
             le_displacement=None,
             ibm_overflow=ov_new,
@@ -634,7 +745,21 @@ def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
     def state_specs(state: SimState):
         specs = jax.tree.map(lambda _: P(), state)
-        return specs._replace(f=f_spec)
+        specs = specs._replace(f=f_spec)
+        if state.cepac is not None:
+            specs = specs._replace(cepac=f_spec)
+        if state.omega_field is not None:
+            specs = specs._replace(omega_field=g_spec)
+        return specs
+
+    cep_mask_sh = cep_val_sh = None
+    if cfg.cepac_tau is not None and cfg.cepac_dirichlet_mask is not None:
+        cep_mask_sh = jax.device_put(
+            jnp.asarray(cfg.cepac_dirichlet_mask), NamedSharding(mesh, g_spec)
+        )
+        cep_val_sh = jax.device_put(
+            jnp.asarray(cfg.cepac_dirichlet_value), NamedSharding(mesh, g_spec)
+        )
 
     opts = None
     if jax.default_backend() == "tpu":
@@ -648,7 +773,12 @@ def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         shstep = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(specs, g_spec, f_spec if bc_sh is not None else P()),
+            in_specs=(
+                specs, g_spec,
+                f_spec if bc_sh is not None else P(),
+                g_spec if cep_mask_sh is not None else P(),
+                g_spec if cep_val_sh is not None else P(),
+            ),
             out_specs=specs,
             check_vma=False,
         )
@@ -656,7 +786,10 @@ def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         @partial(jax.jit, compiler_options=opts)
         def _run(s):
             return jax.lax.fori_loop(
-                0, n_iter, lambda _, ss: shstep(ss, flags_sh, bc_sh), s
+                0, n_iter,
+                lambda _, ss: shstep(ss, flags_sh, bc_sh, cep_mask_sh,
+                                     cep_val_sh),
+                s,
             )
 
         return _run(state)

@@ -1,8 +1,9 @@
 """Device-count invariance for the features that ride the GSPMD runner.
 
-The shard_map fast path rejects Lees-Edwards, CEPAC, solidify, interior
-viscosity and pressure outlets (parallel/sharded_step.shardmap_supported);
-those configurations run through build_sharded_runner (GSPMD
+The shard_map fast path rejects Lees-Edwards, solidify and interior
+viscosity (parallel/sharded_step.shardmap_supported) — those run through
+build_sharded_runner; CEPAC and pressure outlets gained shard_map fast
+paths in r04 but stay covered here on the GSPMD runner too (GSPMD
 auto-partitioning with the exact scatter IBM pinned).  The reference CI's
 distributed-correctness oracle is rank-count invariance
 (scripts/ci/pipeflow_sanity.sh:26-33: bitwise-identical physics for
@@ -82,7 +83,10 @@ def test_lees_edwards_invariance():
 def test_cepac_invariance():
     cfg, state = _base()
     cfg = dataclasses.replace(cfg, cepac_tau=0.6)
-    assert not shardmap_supported(cfg)
+    # r04: CEPAC gained a shard_map fast path; this test keeps pinning the
+    # GSPMD runner (build_sharded_runner below), the shard_map variant
+    # lives in test_shardmap_step.py
+    assert shardmap_supported(cfg)
     state = initial_sim_state(cfg, list(state.cells), cepac0=0.5)
     _invariance(cfg, state)
 
@@ -93,7 +97,10 @@ def test_interior_viscosity_invariance():
                                  interior_box=12)]
     cfg = dataclasses.replace(cfg, types=types, interior_every=2,
                               interior_entire_every=4)
-    assert not shardmap_supported(cfg)
+    # r04: interior viscosity gained a 1-D shard_map fast path; 2-D meshes
+    # still route to GSPMD (slab-local omega updates are x-only)
+    assert shardmap_supported(cfg)
+    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
     state = initial_sim_state(cfg, list(state.cells))
     _invariance(cfg, state)
 
@@ -145,7 +152,9 @@ def test_pressure_outlet_invariance():
     flags[-1, 1:-1, 1:-1] = FLAG_PRESSURE
     cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags),
                               bc_density=1.0)
-    assert not shardmap_supported(cfg)
+    # r04: pressure outlets gained a shard_map fast path (node-local
+    # density Dirichlet); GSPMD stays pinned here
+    assert shardmap_supported(cfg)
     state = initial_sim_state(cfg, list(state.cells))
     _invariance(cfg, state)
 

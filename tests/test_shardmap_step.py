@@ -103,7 +103,9 @@ def test_unsupported_features_detected():
     assert not shardmap_supported(
         dataclasses.replace(cfg, lees_edwards_velocity=0.01)
     )
-    assert not shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
+    assert not shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
+    # r04: CEPAC gained a shard_map fast path
+    assert shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
 
 
 def test_shardmap_overflow_carried():
@@ -225,3 +227,103 @@ def test_facade_distribute(tmp_path):
     assert np.allclose(
         np.asarray(hc.state.f), np.asarray(ref.state.f), rtol=0, atol=1e-7
     )
+
+
+def test_pressure_outlet_shardmap():
+    """r04: pressure outlets (node-local density Dirichlet) ride the
+    shard_map fast path (reference: Zou-He outlets under any block
+    decomposition, core/hemoCell.cpp:438-571)."""
+    from hemocell_tpu.config.defaults import FLAG_PRESSURE
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    flags = np.zeros((32, 16, 16), np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    flags[:, :, -1] = FLAG_WALL
+    flags[-1, 1:-1, 1:-1] = FLAG_PRESSURE
+    cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags), bc_density=1.0)
+    assert shardmap_supported(cfg)
+    state = initial_sim_state(cfg, list(state.cells))
+    _compare(cfg, state)
+
+
+def test_cepac_shardmap():
+    """r04: the CEPAC advection-diffusion lattice rides the shard_map fast
+    path — same two-hop ghost extension as the fluid (reference: second
+    D3Q19 lattice under the same decomposition,
+    core/hemoCellFields.cpp:113-139)."""
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    mask = np.zeros((32, 16, 16), np.uint8)
+    mask[0] = 1
+    cfg = dataclasses.replace(
+        cfg, cepac_tau=0.6,
+        cepac_dirichlet_mask=jnp.asarray(mask),
+        cepac_dirichlet_value=jnp.full((32, 16, 16), 2.0, jnp.float32),
+    )
+    assert shardmap_supported(cfg)
+    state = initial_sim_state(cfg, list(state.cells), cepac0=0.5)
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 5
+    )
+    mesh = make_mesh(8)
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 5)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-6, atol=1e-7)
+    assert np.allclose(np.asarray(out.cepac), np.asarray(ref.cepac),
+                       rtol=1e-6, atol=1e-7)
+
+
+def test_cepac_shardmap_2d():
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(16, 16, 16), n_cells=1, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    cfg = dataclasses.replace(cfg, cepac_tau=0.6)
+    state = initial_sim_state(cfg, list(state.cells), cepac0=0.5)
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 4
+    )
+    mesh = make_mesh(8, axes=("x", "y"))
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 4)
+    assert np.allclose(np.asarray(out.cepac), np.asarray(ref.cepac),
+                       rtol=1e-6, atol=1e-7)
+
+
+def test_interior_viscosity_shardmap():
+    """r04: interior viscosity rides the 1-D shard_map fast path — the
+    omega-field updates run slab-locally (out-of-slab scatters drop) and
+    the fluid kernel takes omega halo rows (reference: dynamics swap under
+    any decomposition, helper/interiorViscosity.cpp:181-203)."""
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=(1e-6, 0, 0),
+        repulsion=False,
+    )
+    types = [dataclasses.replace(cfg.types[0], omega_interior=0.4,
+                                 interior_box=12)]
+    cfg = dataclasses.replace(cfg, types=types, interior_every=2,
+                              interior_entire_every=4)
+    assert shardmap_supported(cfg)
+    state = initial_sim_state(cfg, list(state.cells))
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 5
+    )
+    mesh = make_mesh(8)
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 5)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.omega_field),
+                               np.asarray(ref.omega_field), rtol=0, atol=0)
+    # the feature fired: interior omega present somewhere
+    assert (np.asarray(ref.omega_field) == np.float32(0.4)).any()
