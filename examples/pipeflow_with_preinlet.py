@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--checkpoint-dir", default="checkpoint_preinlet")
     ap.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint-dir")
+    ap.add_argument("--distribute", type=int, default=0,
+                    help="shard the MAIN domain over N devices (preinlet "
+                         "replicated) — the reference's rank split "
+                         "(core/hemoCell.cpp:475-571) as one SPMD program")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="jnp fluid path in the distributed runner (fast "
+                         "on CPU virtual meshes; TPU wants the default)")
     args = ap.parse_args()
 
     # main domain from the standard pipeflow builder, preinlet = a copy of
@@ -75,6 +82,9 @@ def main():
     main_cfg = dataclasses.replace(
         main_cfg, flags=jnp.asarray(mflags), body_force=None
     )
+    if args.no_pallas:
+        pre_cfg = dataclasses.replace(pre_cfg, use_pallas=False)
+        main_cfg = dataclasses.replace(main_cfg, use_pallas=False)
 
     # preinlet takes the loaded cells; the main domain starts empty with
     # spare dead slots per type to receive injections
@@ -95,6 +105,22 @@ def main():
 
     r = hc.params.pipe_radius
     poiseuille = 8 * hc.params.nu_lbm * (hc.params.u_lbm_max * 0.5) / r / r
+    runner = None
+    if args.distribute:
+        from hemocell_tpu.parallel import make_mesh
+        from hemocell_tpu.utils.preinlet import (
+            build_coupled_shardmap_runner,
+            shard_preinlet_state,
+        )
+
+        if hc.shape[0] % args.distribute:
+            sys.exit(f"X={hc.shape[0]} not divisible by {args.distribute}")
+        dmesh = make_mesh(args.distribute, axes=("x",))
+        runner = build_coupled_shardmap_runner(
+            pre_cfg, main_cfg, dmesh,
+            target_mean_velocity=hc.params.u_lbm_max * 0.4,
+            use_pallas=False if args.no_pallas else None,
+        )
     stepper = make_coupled_stepper(
         pre_cfg, main_cfg, target_mean_velocity=hc.params.u_lbm_max * 0.4
     )
@@ -115,8 +141,13 @@ def main():
 
     report = max(1, args.tmax // 10)
     start = int(st.pre.it)
+    if runner is not None:
+        st = shard_preinlet_state(st, dmesh)
     for it in range(start, args.tmax):
-        st = stepper(st)
+        if runner is not None:
+            st = runner(st, 1)
+        else:
+            st = stepper(st)
         if (it + 1) % report == 0:
             jax.block_until_ready(st)
             n_main = sum(int(cs.alive.sum()) for cs in st.main.cells)

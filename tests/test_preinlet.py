@@ -301,3 +301,98 @@ def test_preinlet_checkpoint_resume(tmp_path):
                                       np.asarray(cb.alive))
     for xa, xb in zip(cont_a.crossings, cont_b.crossings):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_preinlet_distributed_matches():
+    """Distributed coupled runner (main sharded over a 1-D mesh, preinlet
+    replicated) vs the single-device coupled stepper — the reference's
+    rank-split (core/hemoCell.cpp:475-571) as one SPMD program.  Needs 8
+    virtual devices."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    import dataclasses
+
+    from hemocell_tpu.parallel.sharding import make_mesh
+    from hemocell_tpu.utils.preinlet import (
+        build_coupled_shardmap_runner,
+        shard_preinlet_state,
+    )
+
+    shape = (32, 12, 12)
+    dtype = jnp.float32
+    mesh_t, tc = _type(dtype)
+
+    walls = np.zeros(shape, np.uint8)
+    walls[:, 0, :] = FLAG_WALL
+    walls[:, -1, :] = FLAG_WALL
+    pre_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(walls), omega=1.0, types=[tc],
+        body_force=jnp.asarray([1e-5, 0, 0], dtype), dtype=dtype,
+        use_pallas=False,
+    )
+    mflags = walls.copy()
+    mflags[0, 1:-1, :] = FLAG_VELOCITY
+    main_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(mflags), omega=1.0, types=[tc],
+        dtype=dtype, use_pallas=False,
+    )
+
+    pre_cells = make_cell_state(
+        (mesh_t.vertices + np.array([26.0, 6.0, 6.0]))[None], dtype=dtype
+    )
+    far = np.repeat(
+        mesh_t.vertices[None] + np.array([-100.0, 6.0, 6.0]), 2, axis=0
+    )
+    main_cells = make_cell_state(far, dtype=dtype)
+    main_cells = main_cells._replace(alive=jnp.zeros(2, bool))
+
+    pre_state = initial_sim_state(pre_cfg, [pre_cells])
+    main_state = initial_sim_state(main_cfg, [main_cells])
+    main_state = main_state._replace(bc_state=jnp.zeros((3,) + shape, dtype))
+    st0 = PreInletState(
+        pre=pre_state, main=main_state,
+        body_force=jnp.asarray(1e-5, dtype),
+        crossings=initial_crossings(pre_state, shape[0]),
+    )
+
+    stepper = make_coupled_stepper(pre_cfg, main_cfg,
+                                   target_mean_velocity=1e-3)
+    ref = st0
+    for _ in range(6):
+        ref = stepper(ref)
+    jax.block_until_ready(ref)
+
+    mesh = make_mesh(4)
+    run = build_coupled_shardmap_runner(
+        pre_cfg, main_cfg, mesh, target_mean_velocity=1e-3,
+    )
+    out = run(shard_preinlet_state(st0, mesh), 6)
+    jax.block_until_ready(out)
+
+    np.testing.assert_allclose(np.asarray(out.pre.f), np.asarray(ref.pre.f),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.main.f),
+                               np.asarray(ref.main.f), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.body_force),
+                               np.asarray(ref.body_force), rtol=1e-6)
+    for co, cr in zip(out.main.cells, ref.main.cells):
+        np.testing.assert_allclose(np.asarray(co.pos), np.asarray(cr.pos),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(co.alive),
+                                      np.asarray(cr.alive))
+
+    # force a crossing and check the injection lands identically
+    pc = ref.pre.cells[0]
+    bump = jnp.asarray([10.0, 0, 0], dtype)
+    ref2 = stepper(ref._replace(pre=ref.pre._replace(
+        cells=(pc._replace(pos=pc.pos + bump),))))
+    po = out.pre.cells[0]
+    out2 = run(out._replace(pre=out.pre._replace(
+        cells=(po._replace(pos=po.pos + bump),))), 1)
+    assert int(np.asarray(ref2.main.cells[0].alive).sum()) == 1
+    assert int(np.asarray(out2.main.cells[0].alive).sum()) == 1
+    np.testing.assert_allclose(np.asarray(out2.main.cells[0].pos),
+                               np.asarray(ref2.main.cells[0].pos),
+                               rtol=0, atol=1e-5)
