@@ -127,7 +127,7 @@ def main():
     n = 100
     hc.iterate(n)  # compile (n static) + warmup
     hc.block()
-    dt30 = float("inf")
+    times30 = []
     for _ in range(3):
         # chain 3 calls, sync once: the ~25 ms relay dispatch+fetch cost
         # amortises over 3n iterations (see time_run docstring)
@@ -136,9 +136,12 @@ def main():
         hc.iterate(n)
         hc.iterate(n)
         hc.block()
-        dt30 = min(dt30, (time.perf_counter() - t0) / 3)
+        times30.append((time.perf_counter() - t0) / 3)
+    times30.sort()
+    dt30 = times30[0]
     nodes30 = hc.shape[0] * hc.shape[1] * hc.shape[2]
     mlups30 = nodes30 * n / dt30 / 1e6
+    mlups30_med = nodes30 * n / times30[len(times30) // 2] / 1e6
     result.update({
         "metric": (
             f"pipeflow MLUPS/chip (periodic pipe, packCells init, "
@@ -152,6 +155,7 @@ def main():
             "coupled pipeflow (no published numbers; BASELINE.md)"
         ),
         "pipeflow30_mlups": round(mlups30, 3),
+        "pipeflow30_mlups_median": round(mlups30_med, 3),
         "pipeflow30_cells": n_rbc + n_plt,
         "pipeflow30_hematocrit": round(ht, 4),
         "pipeflow30_shape": list(hc.shape),
@@ -172,10 +176,11 @@ def main():
             material_every=20, repulsion=False, resort_every=resort_every,
         )
 
-    dt_c, meta, resort64, umax64, _ = suspension_point((64,) * 3, 109, 200,
-                                                       make64)
+    dt_c, meta, resort64, umax64, dt_c_med = suspension_point(
+        (64,) * 3, 109, 200, make64)
     result.update({
         "coupled_64_mlups": round(64 ** 3 * 200 / dt_c / 1e6, 3),
+        "coupled_64_mlups_median": round(64 ** 3 * 200 / dt_c_med / 1e6, 3),
         "coupled_64_cells": meta["n_cells"],
         "coupled_64_hematocrit": round(meta["hematocrit"], 3),
         "coupled_64_resort_every": resort64,
