@@ -765,8 +765,16 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         v, _ = _interp_fn(pos_w, u, shape,
                                           capacity=ibm_capacity,
                                           plan=ibm_plan, mm=cfg.ibm_mm)
-                    return v * act_pad[:, None]
-                return coupling.interpolate(u, idx, w)
+                    v = v * act_pad[:, None]
+                else:
+                    v = coupling.interpolate(u, idx, w)
+                if cfg.lees_edwards_velocity is not None:
+                    # galilean frame shift of the wrapped image — INSIDE
+                    # the interp step: the carried velocity already holds
+                    # its own shift, so adding per iteration would
+                    # double-count on off-steps (particle_every > 1)
+                    v = v.at[:, 0].add(le_w * cfg.lees_edwards_velocity)
+                return v
 
             vel_fallback = jnp.pad(
                 jnp.concatenate([cs.vel.reshape(-1, 3) for cs in cells]),
@@ -775,11 +783,6 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             vel_flat = _every(
                 it, cfg.particle_every, _interp, None, vel_fallback
             )
-            if cfg.lees_edwards_velocity is not None:
-                # galilean frame shift of the wrapped image
-                vel_flat = vel_flat.at[:, 0].add(
-                    le_w * cfg.lees_edwards_velocity
-                )
             offset = 0
             for k, cs in enumerate(cells):
                 nc, nv = cs.pos.shape[0], cs.pos.shape[1]

@@ -81,17 +81,26 @@ def le_stream_collide(f, force, omega, displacement, shear_velocity):
         post[:, :, :, Z - 1], post[:, :, :, 0],
         displacement, shear_velocity, dtype,
     )
+    return stream_with_planes(post, jnp.concatenate([top_c, bot_c], axis=0))
 
-    # streaming with corrected wrap: replace the wrapped plane before the
-    # z-roll for each population with cz != 0
+
+def stream_with_planes(post, planes):
+    """Streaming with pre-corrected z-wrap planes substituted.
+
+    post: [19, X*, Y, Z] post-collision populations (any x extent — the
+    shard_map path passes an x-extended local block, whose body rows come
+    out correct after the periodic x-roll + slice); planes: [38, X*, Y]
+    corrected planes (top 0:19, bottom 19:38) aligned with post's x rows.
+    """
+    _, _, _, Z = post.shape
     outs = []
     for q in range(19):
         cx, cy, cz = (int(v) for v in d3q19.C[q])
         fq = post[q]
         if cz == 1:
-            fq = fq.at[:, :, Z - 1].set(top_c[q])
+            fq = fq.at[:, :, Z - 1].set(planes[q])
         elif cz == -1:
-            fq = fq.at[:, :, 0].set(bot_c[q])
+            fq = fq.at[:, :, 0].set(planes[19 + q])
         if cx or cy or cz:
             fq = jnp.roll(fq, shift=(cx, cy, cz), axis=(0, 1, 2))
         outs.append(fq)
@@ -112,10 +121,21 @@ def _corrected_planes(f, force, omega, displacement, shear_velocity):
         [force[:, :, :, Z - 1], force[:, :, :, 0]], axis=-1
     )
     post2 = collide(f2, force2, omega, flags2)
-    top_c, bot_c = _le_correct(
-        post2[:, :, :, 0], post2[:, :, :, 1],
-        displacement, shear_velocity, dtype,
+    return corrected_planes_from_pair(
+        post2[:, :, :, 0], post2[:, :, :, 1], displacement, shear_velocity
     )
+
+
+def corrected_planes_from_pair(post_top, post_bot, displacement,
+                               shear_velocity):
+    """[19, X, Y] post-collision top (z=Z-1) / bottom (z=0) planes ->
+    packed corrected planes [38, X, Y].  The displaced x-sample spans the
+    FULL domain width, so the shard_map path collides its local plane
+    pair, all_gathers it along the x mesh axis, and calls this on the
+    gathered planes (parallel/sharded_step.py)."""
+    dtype = post_top.dtype
+    top_c, bot_c = _le_correct(post_top, post_bot, displacement,
+                               shear_velocity, dtype)
     return jnp.concatenate([top_c, bot_c], axis=0)
 
 

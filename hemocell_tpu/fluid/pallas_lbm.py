@@ -306,6 +306,10 @@ def _kernel(tx, has_bc, omega_is_field, bc_density, fold, has_le,
             hfl_lo, hfl_hi = take(2)
             flags_lo = sel(flags_lo, hfl_lo, first)
             flags_hi = sel(flags_hi, hfl_hi, last)
+        if has_le:
+            hle_lo, hle_hi = take(2)
+            le_lo = sel(le_lo, hle_lo, first)
+            le_hi = sel(le_hi, hle_hi, last)
         if omega_is_field:
             hom_lo, hom_hi = take(2)
             om_lo = sel(om_lo, hom_lo, first)
@@ -528,13 +532,15 @@ def stream_collide_pallas(
     has_le = le_planes is not None
     has_halos = halos is not None
     if has_halos:
-        assert fold == 1 and not has_le, (
-            "halo mode supports the canonical (unfolded, non-LE) layout"
-        )
+        assert fold == 1, "halo mode supports the canonical (unfolded) layout"
         assert "f" in halos, "halos requires the 'f' (lo, hi) row pair"
         if omega_is_field:
             assert "omega" in halos, (
                 "halo mode with an omega field needs the 'omega' row pair"
+            )
+        if has_le:
+            assert "le" in halos, (
+                "halo mode with Lees-Edwards needs the 'le' plane-row pair"
             )
 
     c_in = (19 + (3 if force_mode == "field" else 0) + (1 if has_flags else 0)
@@ -584,6 +590,8 @@ def stream_collide_pallas(
                 omega = ext(omega_arr, "omega", 0)
             if has_bc:
                 bc_velocity = ext(bc_velocity, "bc", 1)
+            if has_le:
+                le_planes = ext(le_planes, "le", 1)
             X = X + 2
         force_f = force
         if force_mode == "smem":
@@ -593,8 +601,14 @@ def stream_collide_pallas(
         elif force_mode == "none":
             force_f = jnp.zeros((3, X, Y, Z), dtype)
         flags_f = flags if has_flags else jnp.zeros((X, Y, Z), jnp.uint8)
-        out = lbm.stream_collide(f, force_f, omega, flags_f, bc_velocity,
-                                 bc_density)
+        if has_le:
+            from . import lees_edwards
+
+            post = lbm.collide(f, force_f, omega, flags_f)
+            out = lees_edwards.stream_with_planes(post, le_planes)
+        else:
+            out = lbm.stream_collide(f, force_f, omega, flags_f,
+                                     bc_velocity, bc_density)
         return out[:, 1:-1] if has_halos else out
     n = X // tx
     assert X % tx == 0, (X, tx)
@@ -693,6 +707,10 @@ def stream_collide_pallas(
             if spec_dims == 4:
                 assert lo.shape == (ch, 1, Y, Z), (key, lo.shape)
                 sp = pl.BlockSpec((ch, 1, Y, Z), const4, memory_space=V)
+            elif spec_dims == "xy":
+                # z-boundary plane rows (Lees-Edwards): [ch, 1, Y]
+                assert lo.shape == (ch, 1, Y), (key, lo.shape)
+                sp = pl.BlockSpec((ch, 1, Y), const3, memory_space=V)
             else:
                 assert lo.shape == (1, Y, Z), (key, lo.shape)
                 sp = pl.BlockSpec((1, Y, Z), const3, memory_space=V)
@@ -707,6 +725,8 @@ def stream_collide_pallas(
             halos = dict(halos)
             halos["flags"] = (lo.astype(jnp.int32), hi.astype(jnp.int32))
             args += add_halo("flags", 1, 3)
+        if has_le:
+            args += add_halo("le", 2 * Q, "xy")
         if omega_is_field:
             args += add_halo("omega", 1, 3)
         if has_bc:

@@ -33,10 +33,11 @@ particle envelopes (core/hemoCell.cpp:438-571, core/hemoCellFields.cpp:
 Supported feature subset: body force (vector), walls + moving bounce-back
 velocity BC, pressure outlets (node-local density Dirichlet), CEPAC
 (second lattice, same halo pattern), interior viscosity (slab-local omega
-updates + omega halo rows; 1-D meshes), inter-cell + boundary repulsion,
-timescale separation, force cap, boundary-contact deletion, restime.
-Lees-Edwards, solidify and preInlet dynamic overrides fall back to the
-GSPMD runner (parallel/sharding.py).
+updates + omega halo rows; 1-D meshes), Lees-Edwards (x-all_gather'd
+corrected wrap planes + plane halo rows; 1-D meshes, all-fluid box),
+inter-cell + boundary repulsion, timescale separation, force cap,
+boundary-contact deletion, restime.  Solidify and preInlet dynamic
+overrides fall back to the GSPMD runner (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -77,7 +78,19 @@ def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
         # IBM; this path is Pallas-slab only, so route to the GSPMD runner
         return False
     if cfg.lees_edwards_velocity is not None:
-        return False
+        # LE rides shard_map on 1-D (x) meshes: the displaced z-wrap
+        # sample spans the full domain width, so the two boundary planes
+        # are all_gather'd along x (tiny: [38, X, Y]), corrected locally
+        # and fed to the kernel as plane operands + halo rows.  The
+        # kernel's LE mode needs a scalar omega and a plain periodic box,
+        # so interior-viscosity / CEPAC combos are rejected; 2-D meshes
+        # would need a second gather axis.
+        if cfg.interior_every or cfg.cepac_tau is not None:
+            return False
+        if np.asarray(cfg.flags).any():
+            return False  # LE shear box is all-fluid by construction
+        if mesh is not None and len(mesh.axis_names) > 1:
+            return False
     if cfg.solidify_every:
         return False
     if cfg.interior_every and mesh is not None and (
@@ -294,7 +307,19 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             pos_pad = jnp.pad(pos_flat, ((0, pad), (0, 0)),
                               constant_values=0.5)
             act_pad = jnp.pad(active, (0, pad))
-            pos_w = jnp.mod(pos_pad, fshape[None, :])
+            if cfg.lees_edwards_velocity is not None:
+                # Lees-Edwards image mapping (dynamics.py): a vertex in
+                # z-image w sees the fluid displaced by w*d(t) in x and
+                # moving at w*U
+                le_w = jnp.floor(pos_pad[:, 2] / fshape[2])
+                x_eff = pos_pad[:, 0] - le_w * state.le_displacement
+                pos_w = jnp.stack(
+                    [jnp.mod(x_eff, fshape[0]),
+                     jnp.mod(pos_pad[:, 1], fshape[1]),
+                     jnp.mod(pos_pad[:, 2], fshape[2])], axis=1)
+            else:
+                le_w = None
+                pos_w = jnp.mod(pos_pad, fshape[None, :])
             xl = pos_w[:, 0] - x0
             inside = (xl >= 0) & (xl < Xl)
             yl = pos_w[:, 1]
@@ -453,6 +478,56 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 jax.lax.ppermute(om[None, -1:], axis, perm=_fwd(axis))[0],
                 jax.lax.ppermute(om[None, :1], axis, perm=_bwd(axis))[0],
             )
+        le_planes_l = le_lo_row = le_hi_row = None
+        le_disp_new = state.le_displacement
+        if cfg.lees_edwards_velocity is not None:
+            # Lees-Edwards corrected wrap planes: the displaced x-sample
+            # spans the FULL domain width, so collide the local z-boundary
+            # plane pair (node-local, ~2/Z of a collide), all_gather it
+            # along x ([19, X, Y, 2] — tiny), correct globally, then slice
+            # this shard's rows + its two halo rows (helper/leesEdwardsBC.h
+            # is single-core; this is its distributed analog)
+            from ..fluid.lees_edwards import corrected_planes_from_pair
+
+            f_pair = jnp.stack(
+                [f_op[:, :, :, Z - 1], f_op[:, :, :, 0]], axis=-1
+            )
+            if force_field is not None:
+                fo_pair = jnp.stack(
+                    [force_field[:, :, :, Z - 1], force_field[:, :, :, 0]],
+                    axis=-1,
+                )
+            else:
+                bf = (bf_uniform if bf_uniform is not None
+                      else jnp.zeros(3, dtype))
+                fo_pair = jnp.broadcast_to(
+                    bf[:, None, None, None], (3, Xl, Y, 2)
+                )
+            post2 = lbm.collide(
+                f_pair, fo_pair, om, jnp.zeros((Xl, Y, 2), jnp.uint8)
+            )
+            pair_full = jax.lax.all_gather(
+                post2, axis, axis=1, tiled=True
+            )  # [19, X, Y, 2]
+            planes_full = corrected_planes_from_pair(
+                pair_full[:, :, :, 0], pair_full[:, :, :, 1],
+                state.le_displacement, cfg.lees_edwards_velocity,
+            )  # [38, X, Y]
+            xi = jax.lax.axis_index(axis) * Xl
+            le_planes_l = jax.lax.dynamic_slice(
+                planes_full,
+                (jnp.zeros((), xi.dtype), xi, jnp.zeros((), xi.dtype)),
+                (38, Xl, Y),
+            )
+            le_lo_row = jnp.take(
+                planes_full, jnp.mod(xi - 1, X)[None], axis=1
+            )
+            le_hi_row = jnp.take(
+                planes_full, jnp.mod(xi + Xl, X)[None], axis=1
+            )
+            le_disp_new = jnp.mod(
+                state.le_displacement + cfg.lees_edwards_velocity, fshape[0]
+            )
         if use_pallas:
             # halo rows ride as 1-row kernel operands (no [Q, Xl+2, ..]
             # concatenate copy of f, and _pick_tx tiles the local block
@@ -464,6 +539,8 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 halos["flags"] = flg_halo
             if om_halo is not None:
                 halos["omega"] = om_halo
+            if le_planes_l is not None:
+                halos["le"] = (le_lo_row, le_hi_row)
             if bc_halo is not None:
                 halos["bc"] = bc_halo
             f_new = stream_collide_pallas(
@@ -473,6 +550,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 flags_op if not all_fluid else None,
                 bc_op,
                 bc_density=cfg.bc_density,
+                le_planes=le_planes_l,
                 halos=halos,
             )
             if ay:
@@ -502,10 +580,19 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             om_j = om
             if om_halo is not None:
                 om_j = jnp.concatenate([om_halo[0], om, om_halo[1]], axis=0)
-            f_out_ext = lbm.stream_collide(
-                f_ext, force_j, om_j, flags_j, bc_ext,
-                bc_density=cfg.bc_density,
-            )
+            if le_planes_l is not None:
+                from ..fluid.lees_edwards import stream_with_planes
+
+                planes_ext = jnp.concatenate(
+                    [le_lo_row, le_planes_l, le_hi_row], axis=1
+                )
+                post_ext = lbm.collide(f_ext, force_j, om_j, flags_j)
+                f_out_ext = stream_with_planes(post_ext, planes_ext)
+            else:
+                f_out_ext = lbm.stream_collide(
+                    f_ext, force_j, om_j, flags_j, bc_ext,
+                    bc_density=cfg.bc_density,
+                )
             f_new = f_out_ext[:, 1:-1]
             if ay:
                 f_new = f_new[:, :, 1:-1]
@@ -579,6 +666,10 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         plan=ibm_plan,
                     )
                     v = jax.lax.psum(v[:, :3] * in_f[:, None], psum_axes)
+                if cfg.lees_edwards_velocity is not None:
+                    # galilean frame shift of the wrapped image — inside
+                    # the interp step only (see dynamics.py _interp)
+                    v = v.at[:, 0].add(le_w * cfg.lees_edwards_velocity)
                 return v * act_pad[:, None]
 
             vel_fallback = jnp.pad(
@@ -709,7 +800,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             f=f_new, it=it + 1, cells=tuple(cells),
             cepac=cepac_new, omega_field=omega_field_new, flags_state=None,
             binding_mask=None, bc_state=None, body_force_state=None,
-            le_displacement=None,
+            le_displacement=le_disp_new,
             ibm_overflow=ov_new,
         )
 

@@ -100,8 +100,19 @@ def test_walled_channel_matches_2d_mesh():
 
 def test_unsupported_features_detected():
     cfg, _, _ = rbc_suspension(shape=(16, 16, 16), n_cells=1)
-    assert not shardmap_supported(
+    # r04: LE gained a 1-D shard_map fast path — but walled boxes and 2-D
+    # meshes still reject
+    assert shardmap_supported(
         dataclasses.replace(cfg, lees_edwards_velocity=0.01)
+    )
+    assert not shardmap_supported(
+        dataclasses.replace(cfg, lees_edwards_velocity=0.01),
+        make_mesh(8, axes=("x", "y")),
+    )
+    flags_w = np.zeros((16, 16, 16), np.uint8)
+    flags_w[:, :, 0] = FLAG_WALL
+    assert not shardmap_supported(
+        dataclasses.replace(cfg, lees_edwards_velocity=0.01, flags=flags_w)
     )
     assert not shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
     # r04: CEPAC gained a shard_map fast path
@@ -327,3 +338,39 @@ def test_interior_viscosity_shardmap():
                                np.asarray(ref.omega_field), rtol=0, atol=0)
     # the feature fired: interior omega present somewhere
     assert (np.asarray(ref.omega_field) == np.float32(0.4)).any()
+
+
+def test_lees_edwards_shardmap():
+    """r04: Lees-Edwards rides the 1-D shard_map fast path — the two
+    corrected wrap planes are built from an x-all_gather of the local
+    boundary-plane pair and fed to the kernel as plane operands + halo
+    rows (the distributed analog of the reference's single-core LE data
+    processors, helper/leesEdwardsBC.h:57-383)."""
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=2, body_force=None,
+        particle_every=2, material_every=4, repulsion=False,
+    )
+    cfg = dataclasses.replace(cfg, lees_edwards_velocity=1e-3)
+    assert shardmap_supported(cfg)
+    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    state = initial_sim_state(cfg, list(state.cells))
+    _compare(cfg, state, n=6)
+
+
+def test_lees_edwards_shardmap_displacement_carried():
+    """The accumulated LE displacement advances identically under the
+    sharded step (it drives the wrap-plane x-sample and the particle
+    image mapping)."""
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state, _ = rbc_suspension(
+        shape=(32, 16, 16), n_cells=1, body_force=None, repulsion=False,
+    )
+    cfg = dataclasses.replace(cfg, lees_edwards_velocity=2e-3)
+    state = initial_sim_state(cfg, list(state.cells))
+    mesh = make_mesh(8)
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 7)
+    np.testing.assert_allclose(float(out.le_displacement), 7 * 2e-3,
+                               rtol=1e-6)
