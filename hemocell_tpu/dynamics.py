@@ -142,12 +142,17 @@ class StepConfig:
     # core/hemoCellParticle.h:188-203): 1 = Euler, 2 = Adams-Bashforth
     # (pos += 1.5 v - 0.5 v_prev; needs CellTypeState.vel_prev)
     material_integration: int = 1
-    # two-step fused fluid kernel for pure-fluid (cell-free) runs: None =
+    # multi-step fused fluid kernel for pure-fluid (cell-free) runs: None =
     # auto on TPU, True forces (tests run it interpreted on CPU), False
-    # disables.  Bitwise equal to two one-pass steps at ~half the per-step
-    # HBM traffic (fluid/pallas_lbm_2x.py); coupled iterations spread a
-    # fresh IBM force every step so they cannot fuse across the fluid.
+    # disables.  Bitwise equal to k one-pass steps at ~1/k the per-step
+    # HBM write traffic (fluid/pallas_lbm_kx.py); coupled iterations
+    # spread a fresh IBM force every step so they cannot fuse across the
+    # fluid boundary.
     fluid_2x: Optional[bool] = None
+    # fusion depth for the pure-fluid kernel: None = auto (4, the
+    # measured on-chip optimum — 5.11 GLUPS at 128^3 vs 3.57 for k=2,
+    # scripts/probe_kx_ab.py); 2 dispatches the original 2x kernel
+    fluid_k: Optional[int] = None
     # IBM matmul precision: 'f32' (default) or 'bf16' — bf16 runs the
     # one-hot spread/interp contractions at the MXU's bf16 rate with f32
     # accumulation (~0.3% relative weight error; stretch/pipeflow oracles
@@ -1034,15 +1039,17 @@ def build_runner(cfg: StepConfig):
         cfg = dataclasses.replace(cfg, fold=K_fold)
     step = build_step(cfg)
 
-    # two-step fused fluid kernel (pure-fluid runs only): supported when
+    # multi-step fused fluid kernel (pure-fluid runs only): supported when
     # the per-iteration state change is exactly {f, it} and the kernel's
     # restrictions hold (scalar omega, canonical layout, no BCs/LE/CEPAC/
     # interior/solidify, uniform body force)
+    K_FLUID = 4 if cfg.fluid_k is None else int(cfg.fluid_k)
     use_2x = cfg.fluid_2x
     if use_2x is None:
         use_2x = jax.default_backend() == "tpu"
     use_2x = bool(
         use_2x
+        and K_FLUID >= 2
         and cfg.use_pallas is not False
         and K_fold == 1
         and cfg.lees_edwards_velocity is None
@@ -1063,6 +1070,7 @@ def build_runner(cfg: StepConfig):
         # buffer copy per iteration when XLA fails to alias the pallas
         # output into the multi-element carry) — f-only is always fast
         from .fluid.pallas_lbm_2x import stream_collide_pallas_2x
+        from .fluid.pallas_lbm_kx import stream_collide_pallas_kx
 
         bf = (
             st.body_force_state
@@ -1074,14 +1082,25 @@ def build_runner(cfg: StepConfig):
         omega = jnp.asarray(cfg.omega, cfg.dtype)
         flags = cfg.flags if flags_any else None
 
-        def _fluid2(f):
-            return stream_collide_pallas_2x(f, bf, omega, flags)
+        def _fluidk(f, k):
+            if k == 2:
+                return stream_collide_pallas_2x(f, bf, omega, flags)
+            return stream_collide_pallas_kx(f, bf, omega, flags, k=k)
 
-        n2, rem = divmod(n, 2)
-        if n2:
-            f = jax.lax.fori_loop(0, n2, lambda _, ff: _fluid2(ff), st.f)
-            st = st._replace(f=f, it=st.it + 2 * n2)
-        return st
+        nk, rem = divmod(n, K_FLUID)
+        f = st.f
+        if nk:
+            f = jax.lax.fori_loop(
+                0, nk, lambda _, ff: _fluidk(ff, K_FLUID), f
+            )
+        # remainder: largest fused pieces first (bitwise equal to the same
+        # number of one-pass steps); the final odd step falls to the
+        # caller's step() (rem is static — n is a static argument)
+        while rem >= 2:
+            f = _fluidk(f, rem if rem <= K_FLUID else K_FLUID)
+            rem = 0 if rem <= K_FLUID else rem - K_FLUID
+        st = st._replace(f=f, it=st.it + (n - rem))
+        return st, rem
 
     def _pure_fluid_ok(state: SimState) -> bool:
         # trace-time (pytree-structure) checks: no live vertices, no
@@ -1131,8 +1150,8 @@ def build_runner(cfg: StepConfig):
         def run(state: SimState, n: int) -> SimState:
             st = _enter(state)
             if _pure_fluid_ok(state):
-                st = _fluid_loop(st, n)
-                if n % 2:
+                st, rem = _fluid_loop(st, n)
+                if rem:
                     st = step(st)
                 return _exit(st)
             return _exit(
@@ -1157,8 +1176,8 @@ def build_runner(cfg: StepConfig):
         if P0 == 0:
             st = _enter(state)
             if _pure_fluid_ok(state):
-                st = _fluid_loop(st, n)
-                if n % 2:
+                st, rem = _fluid_loop(st, n)
+                if rem:
                     st = step(st, None, None)[0]
                 return _exit(st)
             return _exit(jax.lax.fori_loop(
