@@ -68,11 +68,12 @@ def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
     """True when the explicit shard_map step covers this configuration.
 
     r04 widened the fast path: pressure outlets (node-local density
-    Dirichlet), CEPAC (second lattice, same two-hop halo pattern) and
+    Dirichlet), CEPAC (second lattice, same two-hop halo pattern),
     interior viscosity (slab-local omega updates + omega halo rows — 1-D
-    meshes) now ride shard_map; only Lees-Edwards and solidify remain on
-    the GSPMD runner (reference: every feature under any decomposition,
-    core/hemoCell.cpp:438-571)."""
+    meshes), Lees-Edwards (1-D meshes, all-fluid box) and solidify (1-D
+    meshes) all ride shard_map; the GSPMD runner keeps only the rejected
+    COMBINATIONS (e.g. solidify+CEPAC, 2-D-mesh solidify/LE) (reference:
+    every feature under any decomposition, core/hemoCell.cpp:438-571)."""
     if cfg.spread_mode == "scatter":
         # the facade's overflow guard falls back to the exact XLA scatter
         # IBM; this path is Pallas-slab only, so route to the GSPMD runner
@@ -92,7 +93,19 @@ def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
         if mesh is not None and len(mesh.axis_names) > 1:
             return False
     if cfg.solidify_every:
-        return False
+        # solidify rides 1-D (x) meshes: the mutable flags + binding mask
+        # are carried as x-sharded state (their fluid-kernel halo rows ride
+        # the existing flags ppermute), phase A's interior hardening is a
+        # slab-local scatter (x_origin/x_extent, like interior viscosity)
+        # and phase B's 27-neighbour binding/Tresca test reads 1-row
+        # ppermute ghosts + a cell-hit psum.  Interior-viscosity / LE /
+        # CEPAC combos and 2-D meshes stay on the GSPMD runner.
+        if cfg.interior_every or cfg.lees_edwards_velocity is not None \
+                or cfg.cepac_tau is not None:
+            return False
+        if mesh is not None and len(mesh.axis_names) > 1 and \
+                int(mesh.shape[mesh.axis_names[1]]) > 1:
+            return False
     if cfg.interior_every and mesh is not None and (
         len(mesh.axis_names) > 1
         and int(mesh.shape[mesh.axis_names[1]]) > 1
@@ -175,7 +188,12 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     psum_axes = (axis, ay) if ay else axis
     dtype = cfg.dtype
     fshape = jnp.asarray(shape, dtype=dtype)
-    has_boundaries = bool(np.asarray(cfg.flags).any())
+    # solidify mutates flags at runtime, so the walled machinery (masks,
+    # bounce-back, contact deletion) must be live even on initially
+    # all-fluid domains
+    has_boundaries = bool(np.asarray(cfg.flags).any()) or bool(
+        cfg.solidify_every
+    )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if interpret is None:
@@ -185,6 +203,11 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                    cep_val_l=None) -> SimState:
         it = state.it
         cells = list(state.cells)
+        if state.flags_state is not None:
+            # solidify: the carried (mutated) flags shard replaces the
+            # static operand for every consumer below (masks, fluid
+            # kernel + halo rows, contact deletion)
+            flags_l = state.flags_state
         x0 = (jax.lax.axis_index(axis) * Xl).astype(dtype)
         y0 = (jax.lax.axis_index(ay) * Yl).astype(dtype) if ay else None
 
@@ -688,6 +711,121 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
                 offset += cnt
 
+        # ---- 4b: solidify mechanics (1-D mesh; dynamics.py phase 4b) -----
+        # Phase A hardens marked cells' interiors slab-locally (the same
+        # x_origin/x_extent restriction as interior viscosity); phase B's
+        # 27-neighbour binding/Tresca test reads one ppermute ghost row per
+        # side and psums the per-cell hit across shards (cells replicated).
+        flags_new = state.flags_state
+        binding_new = state.binding_mask
+        if cfg.solidify_every and state.flags_state is not None:
+            from ..cells.interior import interior_mask
+            from ..fluid.tresca import tresca_field
+
+            x0i = jax.lax.axis_index(axis) * Xl
+
+            def _solidify(args):
+                flags_s, binding, cell_list = args
+                cell_list = list(cell_list)
+                # phase A (solidifyMechanics, pltSimpleModel.cpp:211-248)
+                for k2, (tc, cs) in enumerate(zip(cfg.types, cell_list)):
+                    if not tc.solidify:
+                        continue
+                    marked = cs.solidify & cs.alive
+                    interior = interior_mask(
+                        cs.pos, tc.topo["tri"], marked, shape,
+                        tc.interior_box, x_origin=x0i, x_extent=Xl,
+                    )
+                    interior = interior & (flags_s == 0)
+                    flags_s = jnp.where(interior, jnp.uint8(1), flags_s)
+                    binding = binding | interior
+                    cell_list[k2] = cs._replace(
+                        alive=cs.alive & ~marked,
+                        solidify=cs.solidify & ~marked,
+                    )
+                # phase B (solidifyCells, hemoCellParticleField.cpp:
+                # 1018-1070): Tresca is node-local (strain from f_new);
+                # binding/tresca ghost rows cover the +-1 x-neighbourhood
+                force_b = force_field
+                if force_b is None:
+                    force_b = (
+                        bf_uniform if bf_uniform is not None
+                        else jnp.zeros(3, dtype)
+                    )[:, None, None, None]
+                tresca = jnp.abs(
+                    tresca_field(f_new, force_b, jnp.asarray(cfg.omega,
+                                                             dtype)) / 1e-7
+                )
+                b_ext = _yext(binding[None].astype(jnp.int32), axis, 1)[0]
+                t_ext = _yext(tresca[None], axis, 1)[0]
+                nbr = jnp.asarray(
+                    np.array(
+                        [
+                            [i, j, k2_]
+                            for i in (-1, 0, 1)
+                            for j in (-1, 0, 1)
+                            for k2_ in (-1, 0, 1)
+                        ],
+                        dtype=np.int32,
+                    )
+                )
+                for k2, (tc, cs) in enumerate(zip(cfg.types, cell_list)):
+                    if not tc.solidify:
+                        continue
+                    nc, nv = cs.pos.shape[0], cs.pos.shape[1]
+                    p = jnp.mod(cs.pos.reshape(-1, 3), fshape[None, :])
+                    node = jnp.floor(p + 0.5).astype(jnp.int32)
+                    lx = jnp.mod(node[:, 0], X) - x0i
+                    ins_v = (lx >= 0) & (lx < Xl)
+                    lx_c = jnp.clip(lx, 0, Xl - 1)
+                    ny_ = jnp.mod(node[:, 1], Y)
+                    nz_ = jnp.mod(node[:, 2], Z)
+                    nn_x = lx_c[:, None] + nbr[None, :, 0] + 1  # [0, Xl+1]
+                    nn_y = jnp.mod(ny_[:, None] + nbr[None, :, 1], Y)
+                    nn_z = jnp.mod(nz_[:, None] + nbr[None, :, 2], Z)
+                    b = b_ext[nn_x, nn_y, nn_z] > 0
+                    t = t_ext[nn_x, nn_y, nn_z]
+                    # global neighbour coords (pre-mod is fine: the
+                    # min-image below folds any X/Y/Z offset)
+                    nn_g = jnp.stack(
+                        [
+                            (x0i + lx_c[:, None] + nbr[None, :, 0])
+                            .astype(dtype),
+                            nn_y.astype(dtype),
+                            nn_z.astype(dtype),
+                        ],
+                        axis=-1,
+                    )
+                    dv = p[:, None, :] - nn_g
+                    dv = dv - jnp.round(dv / fshape) * fshape
+                    dist = jnp.linalg.norm(dv, axis=-1)
+                    hit = (
+                        b
+                        & (dist <= tc.distance_threshold)
+                        & (t > tc.shear_threshold)
+                        & ins_v[:, None]
+                    )
+                    vert_hit = jnp.any(hit, axis=1).reshape(nc, nv)
+                    cell_hit_l = jnp.any(vert_hit, axis=1)
+                    cell_hit = (
+                        jax.lax.psum(
+                            cell_hit_l.astype(jnp.int32), psum_axes
+                        )
+                        > 0
+                    ) & cs.alive
+                    cell_list[k2] = cs._replace(
+                        solidify=cs.solidify | cell_hit
+                    )
+                return flags_s, binding, tuple(cell_list)
+
+            flags_new, binding_new, new_cells = _every(
+                it, cfg.solidify_every, _solidify,
+                (state.flags_state, state.binding_mask, tuple(cells)),
+                (state.flags_state, state.binding_mask, tuple(cells)),
+            )
+            cells = list(new_cells)
+            flags_l = flags_new
+
         # ---- 5: advance + boundary-contact deletion ----------------------
         if has_boundaries:
             flags_e = _ibm_ext(flags_l[None])[0]
@@ -798,8 +936,9 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             ov_new = jnp.maximum(ov_new, step_overflow)
         return SimState(
             f=f_new, it=it + 1, cells=tuple(cells),
-            cepac=cepac_new, omega_field=omega_field_new, flags_state=None,
-            binding_mask=None, bc_state=None, body_force_state=None,
+            cepac=cepac_new, omega_field=omega_field_new,
+            flags_state=flags_new, binding_mask=binding_new,
+            bc_state=None, body_force_state=None,
             le_displacement=le_disp_new,
             ibm_overflow=ov_new,
         )
@@ -841,6 +980,9 @@ def build_shardmap_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             specs = specs._replace(cepac=f_spec)
         if state.omega_field is not None:
             specs = specs._replace(omega_field=g_spec)
+        if state.flags_state is not None:
+            specs = specs._replace(flags_state=g_spec,
+                                   binding_mask=g_spec)
         return specs
 
     cep_mask_sh = cep_val_sh = None

@@ -137,7 +137,10 @@ def test_solidify_invariance():
         shape=shape, flags=jnp.asarray(flags), omega=1.0, types=[tc],
         solidify_every=2, dtype=jnp.float64, use_pallas=False,
     )
-    assert not shardmap_supported(cfg)
+    # r04: solidify rides 1-D shard_map (test_shardmap_step.py::
+    # test_solidify_shardmap); 2-D meshes still route to GSPMD, which is
+    # what this test exercises
+    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
     cells = make_cell_state(
         (mesh_t.vertices + np.array([12.0, 8.0, 3.6]))[None],
         dtype=jnp.float64,

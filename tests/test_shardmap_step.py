@@ -114,7 +114,16 @@ def test_unsupported_features_detected():
     assert not shardmap_supported(
         dataclasses.replace(cfg, lees_edwards_velocity=0.01, flags=flags_w)
     )
-    assert not shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
+    # r04: solidify gained a 1-D shard_map fast path; combos with
+    # interior viscosity / LE / CEPAC and 2-D meshes stay on GSPMD
+    assert shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
+    assert not shardmap_supported(
+        dataclasses.replace(cfg, solidify_every=2),
+        make_mesh(8, axes=("x", "y")),
+    )
+    assert not shardmap_supported(
+        dataclasses.replace(cfg, solidify_every=2, cepac_tau=0.6)
+    )
     # r04: CEPAC gained a shard_map fast path
     assert shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
 
@@ -374,3 +383,65 @@ def test_lees_edwards_shardmap_displacement_carried():
     out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 7)
     np.testing.assert_allclose(float(out.le_displacement), 7 * 2e-3,
                                rtol=1e-6)
+
+
+def test_solidify_shardmap():
+    """r04: solidify rides the 1-D shard_map fast path — mutable flags +
+    binding mask are carried as x-sharded state, phase A hardens interiors
+    slab-locally, phase B's 27-neighbour binding/Tresca test reads one
+    ppermute ghost row per side and psums per-cell hits (reference:
+    pltSimpleModel.cpp:211-248, hemoCellParticleField.cpp:1018-1070 under
+    any decomposition)."""
+    from hemocell_tpu.cells.state import make_cell_state
+    from hemocell_tpu.dynamics import StepConfig, TypeConfig, \
+        initial_sim_state
+    from hemocell_tpu.mechanics import (
+        MODEL_REGISTRY,
+        MaterialConstants,
+        material_dict,
+        topology_device_arrays,
+    )
+    from hemocell_tpu.mesh import build_topology, ellipsoid_from_sphere
+
+    mesh_t = ellipsoid_from_sphere(2.5, 0.435, 66)
+    topo = build_topology(mesh_t)
+    shape = (32, 16, 16)
+    flags = np.zeros(shape, np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    tc = TypeConfig(
+        name="PLT", model_fn=MODEL_REGISTRY["PltSimpleModel"],
+        topo=topology_device_arrays(topo),
+        material=material_dict(MaterialConstants(
+            k_volume=0.5, k_area=0.5, k_link=0.5, k_bend=0.2)),
+        solidify=True, distance_threshold=2.0, shear_threshold=-1.0,
+        interior_box=12,
+    )
+    cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(flags), omega=1.0, types=[tc],
+        solidify_every=2,
+    )
+    assert shardmap_supported(cfg)
+    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    cells = make_cell_state(
+        (mesh_t.vertices + np.array([12.0, 8.0, 3.6]))[None],
+    )
+    state = initial_sim_state(cfg, [cells])
+
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 4
+    )
+    mesh = make_mesh(8)
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 4)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.flags_state),
+                                  np.asarray(ref.flags_state))
+    np.testing.assert_array_equal(np.asarray(out.binding_mask),
+                                  np.asarray(ref.binding_mask))
+    for co, cr in zip(out.cells, ref.cells):
+        np.testing.assert_array_equal(np.asarray(co.alive),
+                                      np.asarray(cr.alive))
+        np.testing.assert_array_equal(np.asarray(co.solidify),
+                                      np.asarray(cr.solidify))
+    # the feature fired identically: some nodes solidified
+    assert (np.asarray(ref.flags_state) != flags).any()
