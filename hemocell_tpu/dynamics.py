@@ -158,6 +158,12 @@ class StepConfig:
     # accumulation (~0.3% relative weight error; stretch/pipeflow oracles
     # hold — see tests and docs/PERFORMANCE.md)
     ibm_mm: str = "f32"
+    # static IBM slab-window capacity override (None = blind safety=4
+    # pick, ibm/pallas_ibm.slab_capacity).  The facade sets this from the
+    # MEASURED initial occupancy (adaptive_capacity) — tighter windows
+    # mean less per-program DMA + chunk waste; the carried overflow
+    # counter guards against mid-run redistribution past the margin.
+    ibm_capacity: Optional[int] = None
     # lane-fold factor (fluid/pallas_lbm.fold_field): state.f and the fluid
     # kernel operands live in the [19, X/fold, Y, fold*Z] layout, filling
     # the 128-lane tile on Z<128 domains (64^3 fluid pass +70%).  Set by
@@ -407,7 +413,11 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 from .ibm.pallas_ibm import SUBDIV as SHADOW_SUBDIV
 
                 _interp_fn, _spread_fn = pallas_interp, pallas_spread
-                ibm_capacity = slab_capacity(P_pad, shape[0])
+                ibm_capacity = (
+                    cfg.ibm_capacity
+                    if cfg.ibm_capacity is not None
+                    else slab_capacity(P_pad, shape[0])
+                )
                 idx = w = wtot = None
                 fluid_mask3 = (flags == 0).astype(cfg.dtype)
                 # one x-slab sort per step (built at the spread site so the
@@ -1184,7 +1194,11 @@ def build_runner(cfg: StepConfig):
                 0, n, lambda _, s: step(s, None, None)[0], st
             ))
         P_pad = -(-P0 // 512) * 512
-        C = slab_capacity(P_pad, X)
+        C = (
+            cfg.ibm_capacity
+            if cfg.ibm_capacity is not None
+            else slab_capacity(P_pad, X)
+        )
         from .ibm.pallas_ibm import SUBDIV as _SD
 
         plan0 = IbmPlanT(

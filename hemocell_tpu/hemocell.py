@@ -429,6 +429,24 @@ class HemoCell:
         bmask = None
         if self.boundary_repulsion_constant > 0.0:
             bmask = jnp.asarray(boundary_neighbor_mask(np.asarray(self.flags)))
+        # IBM window capacity from the MEASURED initial occupancy instead
+        # of the blind safety=4 static pick — tighter windows cut the
+        # per-program DMA + chunk waste of every spread/interp/wall-hit
+        # call (ibm/pallas_ibm.adaptive_capacity; the overflow guard
+        # catches mid-run redistribution past the margin).  Single-device
+        # runner only: the distributed paths size their own local windows.
+        ibm_cap = None
+        if getattr(self, "_mesh", None) is None and self.cell_states and any(
+            cs.pos.shape[0] for cs in self.cell_states
+        ):
+            from .ibm.pallas_ibm import adaptive_capacity
+
+            pos_all = np.concatenate(
+                [np.asarray(cs.pos).reshape(-1, 3)
+                 for cs in self.cell_states]
+            )
+            if pos_all.shape[0]:
+                ibm_cap = adaptive_capacity(pos_all, self.shape[0])
         cfg = StepConfig(
             shape=self.shape,
             flags=self.flags,
@@ -456,6 +474,7 @@ class HemoCell:
             cepac_tau=self.cepac_tau,
             cepac_dirichlet_mask=getattr(self, "_cepac_mask", None),
             cepac_dirichlet_value=getattr(self, "_cepac_value", None),
+            ibm_capacity=ibm_cap,
         )
         self._step_cfg = cfg
         mesh = getattr(self, "_mesh", None)
@@ -850,7 +869,11 @@ class HemoCell:
                 [np.asarray(cs.pos).reshape(-1, 3) for cs in self.cell_states]
             )
             P_pad = -(-pos.shape[0] // 512) * 512
-            cap = slab_capacity(P_pad, self.shape[0])
+            cap = getattr(
+                getattr(self, "_step_cfg", None), "ibm_capacity", None
+            )
+            if cap is None:
+                cap = slab_capacity(P_pad, self.shape[0])
             ix = np.mod(np.floor(pos[:, 0]).astype(int), self.shape[0])
             occ = int(np.bincount(ix, minlength=self.shape[0]).max())
             if occ + 128 > cap:

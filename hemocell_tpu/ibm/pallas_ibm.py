@@ -84,6 +84,41 @@ def slab_capacity(n_vertices: int, nx: int, safety: float = 4.0) -> int:
     return max(512, min(c, int(np.ceil((n_vertices + _ALIGN) / 512.0) * 512)))
 
 
+def adaptive_capacity(pos, X, margin=1.5):
+    """Static window capacity from MEASURED initial slab occupancy.
+
+    ``slab_capacity``'s blind safety=4 over mean occupancy makes every
+    window DMA + chunk loop carry ~4x the columns that are actually
+    occupied.  Measured on-chip (scripts/probe_spread_ablate.py +
+    capacity A/B, 335k verts in a 248x56x56 tube): capacity 5632 -> 2048
+    takes the shadow spread 0.85 -> 0.73 ms and interp 2.11 -> 1.88 ms.
+
+    Sizing: per-sub-bucket counts of the CURRENT positions, sliding-sum
+    over the widest window a kernel reads (one slab + the 2*EXTRA shadow
+    drift strips + _ALIGN alignment slack), x ``margin`` for drift and
+    slow redistribution, rounded to 512 with a 1024 floor and the
+    safety=4 static pick as ceiling.  Mid-run redistribution past the
+    margin is caught by the carried overflow counter (the facade warns
+    and falls back to the exact scatter path — silent drops can't
+    happen; see HemoCell._check_overflow)."""
+    X = int(X)
+    p = np.asarray(pos, np.float64)
+    P_pad = -(-p.shape[0] // 512) * 512
+    ceil_cap = slab_capacity(P_pad, X)
+    M = SUBDIV
+    sub = np.mod(np.floor(np.mod(p[:, 0], X) * M).astype(np.int64), X * M)
+    counts = np.bincount(sub, minlength=X * M)
+    W = M + 2 * EXTRA
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    # shadow windows clamp at the domain ends (build: lo/hi clipped)
+    occ = max(
+        int(csum[min(s + W, X * M)] - csum[max(s, 0)])
+        for s in range(-EXTRA, X * M - M + EXTRA + 1, M)
+    )
+    cap = int(np.ceil((occ * margin + _ALIGN) / 512.0) * 512)
+    return int(min(max(cap, 1024), ceil_cap))
+
+
 def _sort_by_slab(pos, X):
     ix = jnp.mod(jnp.floor(pos[:, 0]).astype(jnp.int32), X)
     order = jnp.argsort(ix)
@@ -101,12 +136,25 @@ def _component_major(arr, pad_cols):
     return out.at[:3, :P].set(arr.T)
 
 
-def _window_weights(pos4c, g, X, C, Y, Z):
+def _window_iotas(C, Y, Z):
+    """Loop-invariant iota/mod planes for _window_weights, built ONCE per
+    kernel invocation instead of per chunk (the mod over [2Z, C] is ~2 of
+    the ~7 VPU ops per element of the one-hot construction; hoisting it
+    out of the dynamic chunk fori_loop is free VMEM-resident reuse)."""
+    ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
+    ids_2z = jax.lax.broadcasted_iota(jnp.int32, (2 * Z, C), 0)
+    ids_zm = jnp.mod(ids_2z, Z)
+    lo_half = ids_2z < Z
+    return ids_y, ids_zm, lo_half
+
+
+def _window_weights(pos4c, g, X, C, Y, Z, ids=None):
     """Per-window one-hots; vertices not belonging to slab g are masked.
 
     pos4c: [4, C] (row 3 padding; padded tail columns hold position 0 whose
     x-base 0 only matches slab g=0 — callers pad with x = -1 instead).
-    Returns (Sy [Y,C], Sz [Z,C], wx0 [1,C], wx1 [1,C])."""
+    ``ids``: optional precomputed _window_iotas(C, Y, Z).
+    Returns (Sy [Y,C], Szf [2Z,C])."""
     px = pos4c[0:1, :]
     py = pos4c[1:2, :]
     pz = pos4c[2:3, :]
@@ -122,7 +170,9 @@ def _window_weights(pos4c, g, X, C, Y, Z):
     fy = py - jnp.floor(py)
     fz = pz - jnp.floor(pz)
 
-    ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, C), 0)
+    ids_y, ids_zm, lo_half = ids if ids is not None else _window_iotas(
+        C, Y, Z
+    )
     Sy = (ids_y == jnp.mod(iy, Y)) * (1.0 - fy) + (
         ids_y == jnp.mod(iy + 1, Y)
     ) * fy
@@ -130,12 +180,10 @@ def _window_weights(pos4c, g, X, C, Y, Z):
     # (deposit/gather plane g), lanes [Z, 2Z) the wx1-weighted one (plane
     # g+1) — both x-planes ride ONE [.., CH] @ [CH, 2Z] MXU contraction at
     # full lane width (two Z<=64 matmuls would each pad N to 128)
-    ids_2z = jax.lax.broadcasted_iota(jnp.int32, (2 * Z, C), 0)
-    ids_zm = jnp.mod(ids_2z, Z)
     Sz2 = (ids_zm == jnp.mod(iz, Z)) * (1.0 - fz) + (
         ids_zm == jnp.mod(iz + 1, Z)
     ) * fz
-    Szf = Sz2 * jnp.where(ids_2z < Z, wx0, wx1)
+    Szf = Sz2 * jnp.where(lo_half, wx0, wx1)
     return Sy, Szf
 
 
@@ -204,11 +252,19 @@ def build_ibm_plan(pos, shape, capacity, payload=None,
     starts = jnp.searchsorted(
         ix_s, jnp.arange(X * subdiv + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    slab_starts = starts[::subdiv]
-    slab_counts = jnp.diff(slab_starts)
-    per_slab = jnp.maximum(
-        jnp.mod(slab_starts[:-1], _ALIGN) + slab_counts - C, 0
-    )
+    # WINDOW-exact overflow: the kernels address C columns from the
+    # ALIGNED start of each slab's window — which in shadow mode spans
+    # the slab plus EXTRA drift strips per side (_window_bounds).  The
+    # counter must measure exactly that span, else a tight capacity
+    # (adaptive_capacity) could cut trailing strip columns without
+    # tripping the guard.  For subdiv=1 this reduces to the per-slab
+    # formula (window == slab).
+    E = EXTRA if subdiv > 1 else 0
+    gs = jnp.arange(X, dtype=jnp.int32)
+    lo_idx = jnp.clip(gs * subdiv - E, 0, X * subdiv)
+    hi_idx = jnp.clip((gs + 1) * subdiv + E, 0, X * subdiv)
+    al = (starts[lo_idx] // _ALIGN) * _ALIGN
+    per_slab = jnp.maximum(starts[hi_idx] - al - C, 0)
     if overflow_slabs is not None:
         per_slab = per_slab[: int(overflow_slabs)]
     overflow = jnp.sum(per_slab).astype(jnp.int32)
@@ -311,10 +367,11 @@ def _spread_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm, F_hbm,
     # (lanes [0,Z) = plane g, [Z,2Z) = plane g+1) so one [3Y,CH]@[CH,2Z]
     # contraction serves both at full lane width.
     out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
+    ids = _window_iotas(CH, Y, Z)
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z, ids)
         F = F_v[:, sl]
         M3 = jnp.concatenate(
             [Sy * F[c : c + 1, :] for c in range(3)], axis=0
@@ -364,13 +421,14 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm,
     )
 
     out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
+    ids = _window_iotas(CH, Y, Z)
+    # per-column fluid-weight total over both x-planes: the wx weights
+    # live in Szf, so one plane-packed contraction covers both
+    m_pair = jnp.concatenate([m_lo[0, 0], m_hi[0, 0]], axis=1)  # [Y, 2Z]
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
-        # per-column fluid-weight total over both x-planes: the wx weights
-        # live in Szf, so one plane-packed contraction covers both
-        m_pair = jnp.concatenate([m_lo[0, 0], m_hi[0, 0]], axis=1)  # [Y,2Z]
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z, ids)
         t = jax.lax.dot_general(
             _mm_cast(m_pair, mm), _mm_cast(Szf, mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -492,10 +550,11 @@ def _interp_kernel(C, CH, X, Y, Z, NCH, M, E, mm, starts_ref, pos_hbm,
     # plane-packed u: lanes [0,Z) = plane g, [Z,2Z) = plane g+1 — one
     # [NCH*Y, 2Z] @ [2Z, CH] matmul serves both x-planes (wx in Szf)
     u_pair = jnp.concatenate([u_lo[0], u_hi[0]], axis=2)  # [NCH, Y, 2Z]
+    ids = _window_iotas(CH, Y, Z)
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
-        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z)
+        Sy, Szf = _window_weights(pos_v[:, sl], g, X, CH, Y, Z, ids)
         t = jax.lax.dot_general(
             _mm_cast(u_pair.reshape(NCH * Y, 2 * Z), mm),
             _mm_cast(Szf, mm),
@@ -756,6 +815,8 @@ def _hit_kernel(C, CH, X, Y, Z, NCp, M, E, starts_ref, pos_hbm, w_lo, w_hi,
         starts_ref, X, M, E, C, (pos_hbm,), (pos_v2,), (sem_p,),
     )
     w_pair = jnp.concatenate([w_lo[0, 0], w_hi[0, 0]], axis=1)  # [Y, 2Z]
+    ids_y, ids_zm, lo_half = _window_iotas(CH, Y, Z)
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (CH, NCp), 1)
 
     def _chunk(ci, carry):
         sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
@@ -765,17 +826,13 @@ def _hit_kernel(C, CH, X, Y, Z, NCp, M, E, starts_ref, pos_hbm, w_lo, w_hi,
         hi_x = (px - jnp.floor(px)) >= 0.5  # nearest x-plane is g+1
         ny = jnp.mod(jnp.floor(py + 0.5).astype(jnp.int32), Y)
         nz = jnp.mod(jnp.floor(pz + 0.5).astype(jnp.int32), Z)
-        ids_y = jax.lax.broadcasted_iota(jnp.int32, (Y, CH), 0)
         Sy = (ids_y == ny).astype(px.dtype)  # [Y, CH]
-        ids_2z = jax.lax.broadcasted_iota(jnp.int32, (2 * Z, CH), 0)
-        in_hi = ids_2z >= Z
-        Sz = ((jnp.mod(ids_2z, Z) == nz) & (in_hi == hi_x)).astype(px.dtype)
+        Sz = ((ids_zm == nz) & (lo_half != hi_x)).astype(px.dtype)
         t = jax.lax.dot_general(
             w_pair, Sz, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=px.dtype,
         )  # [Y, CH]
         hit = jnp.sum(Sy * t, axis=0, keepdims=True) * mine  # [1, CH]
-        ids_c = jax.lax.broadcasted_iota(jnp.int32, (CH, NCp), 1)
         oh = (ids_c == cid.astype(jnp.int32).reshape(CH, 1)).astype(px.dtype)
         acc = jax.lax.dot_general(
             hit, oh, dimension_numbers=(((1,), (0,)), ((), ())),

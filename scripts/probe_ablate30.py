@@ -57,9 +57,9 @@ def stub_spread(pos, forces, shape, capacity=2048, interpret=None,
             jnp.zeros((), jnp.int32))
 
 
-def stub_spread_shadow(plan, shape, capacity, interpret=None, mm="f32"):
-    return (jnp.zeros((3,) + tuple(shape), plan.pos_cm.dtype),
-            jnp.zeros((), jnp.int32))
+def stub_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
+                       mask=None):
+    return jnp.zeros((3,) + tuple(shape), plan.pos_cm.dtype)
 
 
 def stub_interp(pos, field, shape, capacity=2048, interpret=None,
@@ -100,9 +100,13 @@ PATCHES = {
     "no-wallhit": [(pibm, "pallas_wall_hit_cells", stub_wall_hit)],
     "no-repulsion": [(prep, "pallas_repulsion", stub_repulsion)],
 }
+# every kernel stubbed at once: what remains is the step's machinery
+# (advance, shadow bookkeeping, [P]-elementwise, loop-carry traffic) —
+# the "other" share of the phase table, isolated
+PATCHES["no-kernels"] = [p for ps in PATCHES.values() for p in ps]
 
 
-def run_variant(name, patches=(), mm=None):
+def run_variant(name, patches=(), mm=None, tweak=None):
     saved = []
     try:
         for mod, attr, fn in patches:
@@ -116,6 +120,8 @@ def run_variant(name, patches=(), mm=None):
         hc = build_pipeflow30(workdir="/tmp/pipeflow30_ablate")
         if mm:
             hc.ibm_mm = mm
+        if tweak:
+            tweak(hc)
         hc.iterate(1)
         hc.block()
         dt = bench(hc)
@@ -131,12 +137,42 @@ def run_variant(name, patches=(), mm=None):
 
 
 def main():
-    base = run_variant("base")
-    for name, patches in PATCHES.items():
-        dt = run_variant(name, patches)
-        print(f"    -> {name} share: {(base - dt)*1e3:+.3f} ms", flush=True)
-    bf16 = run_variant("ibm_mm=bf16", mm="bf16")
-    print(f"    -> bf16 delta: {(base - bf16)*1e3:+.3f} ms", flush=True)
+    drill_only = len(sys.argv) > 2 and sys.argv[2] == "drill"
+    if not drill_only:
+        base = run_variant("base")
+        for name, patches in PATCHES.items():
+            dt = run_variant(name, patches)
+            print(f"    -> {name} share: {(base - dt)*1e3:+.3f} ms",
+                  flush=True)
+        bf16 = run_variant("ibm_mm=bf16", mm="bf16")
+        print(f"    -> bf16 delta: {(base - bf16)*1e3:+.3f} ms", flush=True)
+
+    # machinery drill-down on the no-kernels residual: cadence tweaks
+    # (measurement-only physics changes) isolate the resync sort and the
+    # sorted-force refresh from the per-step machinery
+    nk = run_variant("no-kernels(ref)", PATCHES["no-kernels"])
+
+    def no_resort(hc):
+        hc.resort_every = 10 ** 6  # explicit override wins
+
+    def no_material(hc):
+        for ct in hc.cell_types:
+            ct.timescale = 10 ** 6
+
+    def no_both(hc):
+        no_resort(hc)
+        no_material(hc)
+
+    for name, tweak in (("nk+resort=inf", no_resort),
+                        ("nk+material=inf", no_material),
+                        ("nk+both=inf", no_both)):
+        try:
+            dt = run_variant(name, PATCHES["no-kernels"], tweak=tweak)
+            print(f"    -> {name} saves: {(nk - dt) * 1e3:+.3f} ms "
+                  f"of the {nk * 1e3:.3f} residual", flush=True)
+        except Exception as e:
+            print(f"    {name}: failed ({type(e).__name__}: {e})",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -212,3 +212,45 @@ def test_wall_hit_cells_drifted_plan():
         if cs[i] >= 0:
             ref[cs[i]] += hs[i]
     np.testing.assert_allclose(np.asarray(counts), ref, atol=0)
+
+
+def test_adaptive_capacity():
+    """Occupancy-measured window capacity: tight for uniform clouds,
+    >= the densest window, never above the blind safety=4 pick, and
+    physics-neutral (capacity only sizes windows; the spread result is
+    identical as long as no window overflows)."""
+    from hemocell_tpu.ibm.pallas_ibm import (
+        adaptive_capacity,
+        build_ibm_plan,
+        pallas_spread,
+        slab_capacity,
+    )
+
+    rng = np.random.default_rng(0)
+    X, Y, Z = 32, 8, 8
+    P = 8192
+    pos = rng.uniform(0, 1, (P, 3)).astype(np.float32) * np.array(
+        [X, Y, Z], np.float32
+    )
+    cap = adaptive_capacity(pos, X)
+    full = slab_capacity(P, X)
+    assert 1024 <= cap <= full
+    # uniform cloud: mean window occupancy ~ P/X * 1.5 -> tighter than 4x
+    assert cap < full
+    # dense cluster in one slab: capacity must cover it (up to the
+    # safety=4 ceiling)
+    pos_dense = pos.copy()
+    pos_dense[: P // 2, 0] = 5.25
+    cap_d = adaptive_capacity(pos_dense, X)
+    assert cap_d >= min(int(P // 2 * 1.5), full - 512)
+
+    # spread result identical at tight vs blind capacity (f32 sums in a
+    # different chunk grouping -> allclose)
+    F = rng.normal(0, 1e-3, (P, 3)).astype(np.float32)
+    a, ova = pallas_spread(jnp.asarray(pos), jnp.asarray(F), (X, Y, Z),
+                           capacity=cap)
+    b, ovb = pallas_spread(jnp.asarray(pos), jnp.asarray(F), (X, Y, Z),
+                           capacity=full)
+    assert int(ova) == 0 and int(ovb) == 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=1e-9)
