@@ -669,6 +669,17 @@ class HemoCell:
         if getattr(self, "spread_mode", None) == "scatter":
             return
         prev = getattr(self, "_ov_pending", None)
+        if prev is not None and hasattr(prev, "is_ready") \
+                and not prev.is_ready():
+            # the async transfer has not landed yet (tightly chained
+            # iterate() calls): skip the inspection instead of blocking —
+            # a host wait on the previous call's counter would serialize
+            # the chained dispatches (~25 ms relay round trip per call).
+            # Safe to supersede: the counter is a carried running max, so
+            # the newer value shipped below covers everything the dropped
+            # one did.  flush_overflow_guard()/writeOutput/checkpoint
+            # remain the synchronous backstops before results are trusted.
+            prev = None
         if prev is not None and int(np.asarray(prev)) > 0:
             import warnings as _w
 
@@ -700,6 +711,7 @@ class HemoCell:
         results or writing a terminal checkpoint."""
         ov = self._state.ibm_overflow if self._state is not None else None
         if ov is not None:
+            jax.block_until_ready(ov)  # synchronous by contract
             self._ov_pending = ov
             self._check_overflow()
 
@@ -711,6 +723,12 @@ class HemoCell:
             # finishes (measured in scripts/probe_roofline.py) — a 4-byte
             # fetch of the loop-carried counter forces true completion
             int(self._state.it)
+            # everything has landed: inspect the (possibly deferred)
+            # overflow counter now — block() is a user sync point
+            prev = getattr(self, "_ov_pending", None)
+            if prev is not None:
+                jax.block_until_ready(prev)
+            self._check_overflow()
 
     # ------------------------------------------------------------------
     # observables
@@ -910,6 +928,9 @@ class HemoCell:
         TPU keeps stepping while the host writes — call
         :meth:`flush_output` (or let it run at exit) to guarantee files
         are on disk."""
+        # results are trusted at output time: run the (normally
+        # opportunistic) overflow guard synchronously first
+        self.flush_overflow_guard()
         import functools as _ft
 
         from .io import write_cell_csv, write_cells_hdf5, write_fluid_hdf5
@@ -1439,6 +1460,8 @@ class HemoCell:
     def save_checkpoint(self, directory: Optional[str] = None):
         from .io import save_checkpoint
 
+        # a checkpoint must never freeze silently-corrupted physics
+        self.flush_overflow_guard()
         d = directory or os.path.join(self.outdir or ".", "checkpoint")
         meta = {"iteration": self.iter, "dx": self.params.dx, "dt": self.params.dt}
         return save_checkpoint(d, self.state, meta)

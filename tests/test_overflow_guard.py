@@ -102,7 +102,11 @@ def test_iterate_falls_back_to_scatter(tmp_path):
     hc._state = hc._state._replace(ibm_overflow=jnp.asarray(7, jnp.int32))
     hc.iterate(1)  # ships the non-zero counter asynchronously
     with pytest.warns(UserWarning, match="overflow"):
+        # the opportunistic check fires here if the async fetch already
+        # landed; block() is the deterministic sync backstop (r04: the
+        # guard no longer blocks inside chained iterate() calls)
         hc.iterate(1)
+        hc.block()
     assert hc.spread_mode == "scatter"
     assert int(np.asarray(hc._state.ibm_overflow)) == 0
     hc.iterate(1)  # rebuild with scatter path still runs
