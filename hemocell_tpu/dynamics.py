@@ -1103,12 +1103,12 @@ def build_runner(cfg: StepConfig):
             f = jax.lax.fori_loop(
                 0, nk, lambda _, ff: _fluidk(ff, K_FLUID), f
             )
-        # remainder: largest fused pieces first (bitwise equal to the same
-        # number of one-pass steps); the final odd step falls to the
-        # caller's step() (rem is static — n is a static argument)
-        while rem >= 2:
-            f = _fluidk(f, rem if rem <= K_FLUID else K_FLUID)
-            rem = 0 if rem <= K_FLUID else rem - K_FLUID
+        # remainder (< K_FLUID by construction): one fused piece, bitwise
+        # equal to the same number of one-pass steps; a final odd single
+        # step falls to the caller's step() (rem is static — n is static)
+        if rem >= 2:
+            f = _fluidk(f, rem)
+            rem = 0
         st = st._replace(f=f, it=st.it + (n - rem))
         return st, rem
 

@@ -122,7 +122,10 @@ def pick_tx_kx(X, Y, Z, c_in, k, vmem_budget=96 * 2 ** 20):
     for tx in range(1, X + 1):
         if X % tx == 0 and need(tx) < vmem_budget:
             best = tx
-    if best == 0 and need(1) < 100 * 2 ** 20:
+    # escape hatch for tx=1: the kernel's actual vmem_limit_bytes carries
+    # ~4% headroom over the comfort budget, scaled so a caller-supplied
+    # budget is honored consistently (default: 100 MiB over 96)
+    if best == 0 and need(1) < (vmem_budget * 25) // 24:
         best = 1
     return best
 

@@ -737,6 +737,14 @@ class HemoCell:
     def state(self) -> SimState:
         if self._dirty or self._state is None:
             self._build()
+        # direct state reads are not otherwise a sync point: inspect the
+        # async overflow counter if it has landed, so corrupted fields are
+        # never consumed without the warning/fallback firing (a not-ready
+        # counter is skipped — zero stall, block() remains the backstop)
+        if getattr(self, "_ov_pending", None) is not None:
+            self._check_overflow()
+            if self._dirty:
+                self._build()
         return self._state
 
     def fluid_velocity(self):
@@ -881,7 +889,7 @@ class HemoCell:
         # window's static capacity are dropped silently in-kernel, so check
         # the current distribution against the capacity headroom
         if self.cell_states and any(cs.pos.shape[0] for cs in self.cell_states):
-            from .ibm.pallas_ibm import slab_capacity
+            from .ibm.pallas_ibm import slab_capacity, window_occupancy
 
             pos = np.concatenate(
                 [np.asarray(cs.pos).reshape(-1, 3) for cs in self.cell_states]
@@ -892,8 +900,10 @@ class HemoCell:
             )
             if cap is None:
                 cap = slab_capacity(P_pad, self.shape[0])
-            ix = np.mod(np.floor(pos[:, 0]).astype(int), self.shape[0])
-            occ = int(np.bincount(ix, minlength=self.shape[0]).max())
+            # true sliding-window occupancy (slab + shadow drift strips) —
+            # with tight adaptive capacities the per-slab bincount max
+            # understates what a kernel window actually holds
+            occ = window_occupancy(pos, self.shape[0])
             if occ + 128 > cap:
                 warnings.append(
                     f"IBM slab occupancy {occ} within 128 of window "

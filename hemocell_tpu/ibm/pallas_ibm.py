@@ -105,18 +105,28 @@ def adaptive_capacity(pos, X, margin=1.5):
     p = np.asarray(pos, np.float64)
     P_pad = -(-p.shape[0] // 512) * 512
     ceil_cap = slab_capacity(P_pad, X)
+    occ = window_occupancy(p, X)
+    cap = int(np.ceil((occ * margin + _ALIGN) / 512.0) * 512)
+    return int(min(max(cap, 1024), ceil_cap))
+
+
+def window_occupancy(pos, X) -> int:
+    """Max vertex count over the widest window any slab kernel reads (one
+    slab + the 2*EXTRA shadow drift strips) — the quantity a static window
+    capacity must cover.  Shared by adaptive_capacity (sizing) and the
+    facade's sanity_check (pre-flight headroom warning)."""
+    X = int(X)
+    p = np.asarray(pos, np.float64)
     M = SUBDIV
     sub = np.mod(np.floor(np.mod(p[:, 0], X) * M).astype(np.int64), X * M)
     counts = np.bincount(sub, minlength=X * M)
     W = M + 2 * EXTRA
     csum = np.concatenate([[0], np.cumsum(counts)])
     # shadow windows clamp at the domain ends (build: lo/hi clipped)
-    occ = max(
+    return max(
         int(csum[min(s + W, X * M)] - csum[max(s, 0)])
         for s in range(-EXTRA, X * M - M + EXTRA + 1, M)
     )
-    cap = int(np.ceil((occ * margin + _ALIGN) / 512.0) * 512)
-    return int(min(max(cap, 1024), ceil_cap))
 
 
 def _sort_by_slab(pos, X):

@@ -39,6 +39,11 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long validation runs (--run-slow)")
+    config.addinivalue_line(
+        "markers",
+        "shard: multi-device shard_map/owner/GSPMD tests — heavy compiles; "
+        "fast tier deselects them with -m 'not shard' (see tests/README.md)",
+    )
 
 
 def pytest_addoption(parser):
@@ -51,6 +56,13 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
+    # auto-tier: the multi-device suites dominate wall time (heavy shard_map
+    # compiles on the 8-device CPU mesh) — mark them so CI can run a fast
+    # tier with -m 'not shard'
+    for item in items:
+        fn = item.fspath.basename
+        if any(k in fn for k in ("shard", "owner", "gspmd", "preinlet")):
+            item.add_marker(pytest.mark.shard)
     if config.getoption("--run-slow"):
         return
     skip_slow = pytest.mark.skip(reason="needs --run-slow")
