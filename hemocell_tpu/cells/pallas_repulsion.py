@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ibm.pallas_ibm import _sort_by_slab, slab_capacity
+from ..ibm.pallas_ibm import slab_capacity
 
 _ALIGN = 128
 
@@ -122,12 +122,26 @@ def pallas_repulsion(pos, cell_gid, active, shape, k_rep, cutoff,
 
     fshape = jnp.asarray((X, Y, Z), dtype=dtype)
     p = jnp.mod(pos, fshape[None, :])
-    order, ix_s, starts = _sort_by_slab(p, X)
+    # dead vertices sort into a parking slab PAST every program's window —
+    # they must not consume real slabs' window capacity (dead cells and
+    # per-shard owner tables park inactive rows at their last real
+    # positions, which would otherwise crowd the contact zone's windows)
+    ix = jnp.where(
+        active > 0,
+        jnp.mod(jnp.floor(p[:, 0]).astype(jnp.int32), X),
+        X,
+    )
+    order = jnp.argsort(ix)
+    ix_s = ix[order]
+    starts = jnp.searchsorted(
+        ix_s, jnp.arange(X + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
     counts = jnp.diff(starts)
     overflow = jnp.sum(jnp.maximum(jnp.mod(starts[:-1], _ALIGN) + counts - C, 0))
 
     p_sorted = p[order]
-    # dead vertices: park at x=-1 with an impossible cell id so no pair forms
+    # parked vertices: x=-1 with an impossible cell id so no pair forms
+    # even when a clamped end window reads the parking region
     act_s = active[order] > 0
     p_sorted = jnp.where(act_s[:, None], p_sorted, -1.0)
     gid_f = jnp.where(act_s, cell_gid[order], -7).astype(dtype)
@@ -169,4 +183,5 @@ def pallas_repulsion(pos, cell_gid, active, shape, k_rep, cutoff,
     bf = blocks.reshape(-1)
     F_sorted = jnp.stack([bf[flat + c * C] for c in range(3)], axis=1)
     inv = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
-    return F_sorted[inv], overflow
+    # parked (inactive) vertices read undefined output columns — zero them
+    return F_sorted[inv] * (active > 0)[:, None], overflow

@@ -265,6 +265,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
             carried_rep = jnp.concatenate(
                 [cs.force_repulsion.reshape(-1, 3) for cs in cells]
             )
+        rep_overflow = None
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
             rep_mode = cfg.spread_mode
             if rep_mode is None:
@@ -276,18 +277,22 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 if rep_mode == "pallas":
                     from .cells.pallas_repulsion import pallas_repulsion
 
-                    f, _ = pallas_repulsion(
+                    # window overflow means silently dropped PAIRS —
+                    # folded into the carried guard counter below
+                    f, ovr = pallas_repulsion(
                         p, cell_gid, active, shape,
                         float(cfg.repulsion_constant),
                         float(cfg.repulsion_cutoff),
                     )
-                    return f
+                    return f, ovr.astype(jnp.int32)
                 return repulsion_forces(
                     p, cell_gid, active, shape,
                     cfg.repulsion_constant, cfg.repulsion_cutoff,
-                )
-            frep = _every(it, cfg.repulsion_every, _rep, pos_flat,
-                          carried_rep)
+                ), jnp.zeros((), jnp.int32)
+            frep, rep_overflow = _every(
+                it, cfg.repulsion_every, _rep, pos_flat,
+                (carried_rep, jnp.zeros((), jnp.int32)),
+            )
         else:
             frep = carried_rep
 
@@ -966,6 +971,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         ov_new = state.ibm_overflow
         if ov_new is not None and step_overflow is not None:
             ov_new = jnp.maximum(ov_new, step_overflow.astype(jnp.int32))
+        if ov_new is not None and rep_overflow is not None:
+            ov_new = jnp.maximum(ov_new, rep_overflow)
         out_state = SimState(f=f_new, it=it + 1, cells=tuple(cells),
                              cepac=cepac_new, omega_field=omega_field_new,
                              flags_state=flags_new, binding_mask=binding_new,
@@ -1236,7 +1243,10 @@ def initial_sim_state(cfg: StepConfig, cell_states: Sequence[CellTypeState],
     if cfg.cepac_tau is not None:
         from .fluid.advection_diffusion import ad_initial_state
 
-        cepac = ad_initial_state(cfg.shape, conc0=cepac0 or 0.0, dtype=cfg.dtype)
+        cepac = ad_initial_state(
+            cfg.shape, conc0=cepac0 if cepac0 is not None else 0.0,
+            dtype=cfg.dtype,
+        )
     omega_field = None
     if cfg.interior_every:
         omega_field = jnp.full(cfg.shape, cfg.omega, dtype=cfg.dtype)

@@ -489,43 +489,74 @@ class HemoCell:
             divisible = self.shape[0] % int(mesh.shape[names[0]]) == 0
             if len(names) > 1:
                 divisible &= self.shape[1] % int(mesh.shape[names[1]]) == 0
+            # owner-computes particle sharding is the PRODUCTION
+            # distributed path (per-shard cell tables, O(P/N) particle
+            # work like the reference's per-block particle fields,
+            # core/hemoCellFields.cpp:70-111): auto-picked whenever it
+            # covers the configuration; particle_sharding='replicated'
+            # forces the vertex-replicated shard_map/GSPMD runners,
+            # 'owner' insists (and logs loudly when it can't)
+            pick = getattr(self, "particle_sharding", None)
             owner_ok = False
-            if (
-                getattr(self, "particle_sharding", None) == "owner"
-                and len(names) == 1 and divisible
-            ):
-                # owner-computes particle sharding (opt-in): per-shard cell
-                # tables, O(P/N) particle work (parallel/owner_step.py)
+            owner_reason = None
+            n_cells = sum(cs.pos.shape[0] for cs in self.cell_states)
+            if pick != "replicated" and n_cells > 0:
                 from .parallel.owner_step import (
                     build_owner_runner,
-                    owner_supported,
+                    owner_unsupported_reason,
+                    required_slab_width,
                     suggest_envelope,
                 )
 
-                nxm = int(mesh.shape[names[0]])
-                n_cells = sum(cs.pos.shape[0] for cs in self.cell_states)
-                env = suggest_envelope(
-                    self.cell_states, resort_every=cfg.resort_every
-                )
-                xl = self.shape[0] // nxm
-                if (
-                    owner_supported(cfg, n_cells) and nxm >= 2
-                    and xl >= env and self.shape[0] - xl >= 2 * env
-                ):
+                owner_reason = owner_unsupported_reason(cfg, n_cells)
+                if len(names) != 1:
+                    owner_reason = owner_reason or "2-D device mesh"
+                elif not divisible:
+                    owner_reason = owner_reason or (
+                        f"X={self.shape[0]} not divisible by the mesh"
+                    )
+                else:
+                    nxm = int(mesh.shape[names[0]])
+                    env = suggest_envelope(
+                        self.cell_states, resort_every=cfg.resort_every
+                    )
+                    need = required_slab_width(self.cell_states, cfg, env)
+                    xl = self.shape[0] // nxm if nxm else 0
+                    if nxm < 2:
+                        owner_reason = owner_reason or "single-shard mesh"
+                    elif xl < need or self.shape[0] - xl < 2 * env:
+                        owner_reason = owner_reason or (
+                            f"slab width {xl} < required {need} "
+                            f"(envelope {env})"
+                        )
+                if owner_reason is None:
                     self._runner = build_owner_runner(
                         cfg, mesh, envelope=env
                     )
                     owner_ok = True
+                elif pick == "owner" or n_cells > 0:
+                    from .utils.logfile import hlog
+
+                    hlog(
+                        f"distribute: owner-computes particle sharding "
+                        f"unavailable ({owner_reason}); falling back to "
+                        f"the vertex-replicated "
+                        f"{'shard_map' if shardmap_supported(cfg, mesh) else 'GSPMD'}"
+                        f" runner"
+                    )
             if owner_ok:
-                pass
+                self._distributed_mode = "owner"
             elif shardmap_supported(cfg, mesh) and len(names) <= 2 \
                     and divisible:
                 self._runner = build_shardmap_runner(cfg, mesh)
+                self._distributed_mode = "shardmap"
             else:
                 # GSPMD auto-partition covers the full feature set
                 self._runner = build_sharded_runner(cfg, mesh)
+                self._distributed_mode = "gspmd"
         else:
             self._runner = build_runner(cfg)
+            self._distributed_mode = "single"
         if self._state is None:
             self._state = initial_sim_state(
                 cfg, self.cell_states, rho0=getattr(self, "_rho0", 1.0),
@@ -587,12 +618,14 @@ class HemoCell:
         (per-shard Pallas kernels + ppermute halo exchange) when the
         feature set allows, else the GSPMD auto-partitioned step.
 
-        ``particle_sharding='owner'`` opts into per-shard cell ownership
-        (parallel/owner_step.py): particle work scales O(P/N) like the
-        reference's per-block particle fields, with envelope-halo
-        ppermutes replacing the MPI particle protocol.  Falls back to the
-        replicated shard_map step when the feature set or geometry doesn't
-        allow it."""
+        Particle sharding defaults to OWNER-COMPUTES (per-shard cell
+        tables, parallel/owner_step.py): particle work scales O(P/N) like
+        the reference's per-block particle fields, with envelope-halo
+        ppermutes replacing the MPI particle protocol.  It falls back
+        (with a logged reason) to the vertex-replicated shard_map step
+        when the feature set or geometry doesn't allow it;
+        ``particle_sharding='replicated'`` forces the replicated step,
+        ``'owner'`` documents intent (same auto behavior)."""
         from .parallel import make_mesh, shard_state
 
         if particle_sharding is not None:

@@ -32,11 +32,15 @@ Capacity violations (owned > Ccap, migrants > Mcap, drift past the
 envelope) are counted into the same carried overflow counter the facade's
 corruption guard watches (hemocell.py _check_overflow).
 
-Supported subset (v1): 1-D ("x") mesh with nx ≥ 2 shards, Xl ≥ E,
-walls + body force + timescales + boundary deletion + restime; no
-inter-cell/boundary repulsion, Lees-Edwards, CEPAC, interior viscosity,
-solidify, velocity/pressure BC overrides, Adams-Bashforth (those ride the
-replicated shard_map / GSPMD runners).
+Supported subset (v2 — the PRODUCTION distributed path, auto-picked by
+``HemoCell.distribute`` whenever it covers the configuration): 1-D ("x")
+mesh with nx ≥ 2 shards, Xl ≥ E, walls + body force + timescales +
+boundary deletion + restime + inter-cell and boundary repulsion (per-shard
+neighbour search over own + ±1-neighbour cell tables), interior viscosity
+(slab-local omega updates from own + neighbour tables), CEPAC (second
+sharded lattice, 1-row halos) and velocity/pressure BC overrides.  Still
+excluded (ride the replicated shard_map / GSPMD runners): Lees-Edwards,
+solidify, Adams-Bashforth, 2-D meshes.
 """
 
 from __future__ import annotations
@@ -72,25 +76,39 @@ class OwnedType(NamedTuple):
     restime: Optional[jnp.ndarray]  # [Ccap] int32 or None
 
 
+def owner_unsupported_reason(cfg: StepConfig, n_cells_total: int):
+    """None when the owner-sharded runner covers this configuration, else
+    a human-readable reason (``distribute`` logs it on fallback)."""
+    if cfg.spread_mode == "scatter":
+        return "spread_mode='scatter' (exact-fallback mode is Pallas-free)"
+    if cfg.lees_edwards_velocity is not None:
+        return "Lees-Edwards sheared periodicity"
+    if cfg.solidify_every:
+        return "solidify mechanics (mutable flags)"
+    if cfg.material_integration != 1:
+        return "Adams-Bashforth integration"
+    if cfg.body_force is not None and np.ndim(cfg.body_force) != 1:
+        return "non-uniform body-force field"
+    if n_cells_total == 0:
+        return "no cells (use the plain sharded fluid runner)"
+    return None
+
+
 def owner_supported(cfg: StepConfig, n_cells_total: int) -> bool:
     """True when the owner-sharded runner covers this configuration."""
-    if cfg.spread_mode == "scatter":
-        return False
-    if cfg.repulsion_constant > 0.0 or cfg.boundary_repulsion_constant > 0.0:
-        return False
-    if cfg.lees_edwards_velocity is not None:
-        return False
-    if cfg.cepac_tau is not None or cfg.interior_every or cfg.solidify_every:
-        return False
-    if cfg.bc_velocity is not None or cfg.bc_density is not None:
-        return False
-    if cfg.material_integration != 1:
-        return False
-    if cfg.body_force is not None and np.ndim(cfg.body_force) != 1:
-        return False
-    if n_cells_total == 0:
-        return False
-    return True
+    return owner_unsupported_reason(cfg, n_cells_total) is None
+
+
+def _suspension_r_max(cell_states) -> float:
+    """Max vertex distance from its cell's center of mass at t=0."""
+    r_max = 0.0
+    for cs in cell_states:
+        if cs.pos.shape[0] == 0:
+            continue
+        p = np.asarray(cs.pos)
+        cm = p.mean(axis=1, keepdims=True)
+        r_max = max(r_max, float(np.abs(p - cm).max()))
+    return r_max
 
 
 def suggest_envelope(cell_states, resort_every: int = 32,
@@ -99,14 +117,27 @@ def suggest_envelope(cell_states, resort_every: int = 32,
     cell's center of mass at t=0, plus drift over one resort cadence, plus
     the deposit stencil reach (reference default particleEnvelope = 25 lu,
     examples/pipeflow/config.xml:36 — ours is measured per suspension)."""
-    r_max = 0.0
-    for cs in cell_states:
-        if cs.pos.shape[0] == 0:
-            continue
-        p = np.asarray(cs.pos)
-        cm = p.mean(axis=1, keepdims=True)
-        r_max = max(r_max, float(np.abs(p - cm).max()))
+    r_max = _suspension_r_max(cell_states)
     return int(np.ceil(r_max + resort_every * u_max + 2.0))
+
+
+def required_slab_width(cell_states, cfg: StepConfig, envelope: int,
+                        u_max: float = 0.025) -> int:
+    """Minimum local slab width Xl for an exact owner-sharded run.
+
+    Base requirement: Xl >= E (the IBM/interp envelope).  With inter-cell
+    repulsion the ±1-neighbour table exchange must see every partner cell:
+    a pair within ``cutoff`` whose partner is TWO shards away needs
+    Xl < 2*r_max + cutoff + 2*drift (CMs drift up to one resort cadence
+    between migrations), so exactness requires the converse bound."""
+    need = int(envelope)
+    if cfg.repulsion_constant > 0.0:
+        r_max = _suspension_r_max(cell_states)
+        drift = max(1, int(cfg.resort_every)) * u_max
+        need = max(need, int(np.ceil(
+            2.0 * r_max + cfg.repulsion_cutoff + 2.0 * drift
+        )))
+    return need
 
 
 def _take_rows(arrs, order):
@@ -147,22 +178,45 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         jnp.asarray(cfg.body_force, dtype=dtype)
         if cfg.body_force is not None else None
     )
+    has_rep = cfg.repulsion_constant > 0.0
+    has_brep = (
+        cfg.boundary_repulsion_constant > 0.0
+        and cfg.boundary_mask is not None
+    )
+    # full-domain constant: the wall-adjacency mask is static and the
+    # per-vertex 27-node gather is O(P/N) — replicating it trades a few
+    # (X*Y*Z) bytes of HBM per chip for keeping the force law in global
+    # coordinates (exactly the replicated paths' formula)
+    bmask_const = (
+        jnp.asarray(cfg.boundary_mask) if has_brep else None
+    )
 
     # ---------------- per-shard local step -------------------------------
-    def _ext_rows(arr, d):
-        """Extend a local [.., Xl, Y, Z] field with E rows from each
+    def _ext_rows(arr, d, n=E):
+        """Extend a local [.., Xl, Y, Z] field with n rows from each
         periodic neighbour along the sharded axis (dim d)."""
+        L = arr.shape[d]
         lo = jax.lax.ppermute(
-            jax.lax.slice_in_dim(arr, Xl - E, Xl, axis=d), axis,
+            jax.lax.slice_in_dim(arr, L - n, L, axis=d), axis,
             perm=_fwd(axis),
         )
         hi = jax.lax.ppermute(
-            jax.lax.slice_in_dim(arr, 0, E, axis=d), axis, perm=_bwd(axis),
+            jax.lax.slice_in_dim(arr, 0, n, axis=d), axis, perm=_bwd(axis),
         )
         return jnp.concatenate([lo, arr, hi], axis=d)
 
-    def local_loop(f0, it0, ov0, owned, flags_l, n_iter, resort_k):
+    def local_loop(f0, it0, ov0, owned, cep0, om0, flags_l, bc_l,
+                   cep_mask_l, cep_val_l, type_counts, n_iter, resort_k):
         rank = jax.lax.axis_index(axis)
+        type_offsets = np.cumsum([0] + list(type_counts))[:-1].tolist()
+        # global-suspension vertex count: the Pallas repulsion windows see
+        # full-suspension row density regardless of the local table sizes
+        P_total = sum(
+            nc * o.pos.shape[1] for nc, o in zip(type_counts, owned)
+        )
+        rep_capacity = (
+            slab_capacity(P_total, X) if P_total else None
+        )
         x0 = (rank * Xl).astype(dtype)
         flags_ext = _ext_rows(flags_l, 0)  # [Xg, Y, Z] static per call
         fluid_mask_ext = (flags_ext == FLAG_FLUID).astype(dtype)
@@ -196,8 +250,180 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             # vertices (E ghost rows each side); mod X keeps the wrap exact
             return jnp.mod(px - x0 + E, fshape[0])
 
+        def _nbr_tables(owned):
+            """±1-neighbour cell tables (idx, pos, alive) per type — the
+            TPU analog of the reference's envelope particle structs
+            (core/hemoCellParticleDataTransfer.cpp:74-177).  With nx == 2
+            left and right neighbour are the SAME shard: ship one copy so
+            repulsion pairs are not double-counted."""
+            tabs = []
+            for o in owned:
+                send = (o.idx, o.pos, o.alive)
+                tl = tuple(
+                    jax.lax.ppermute(a, axis, perm=_fwd(axis)) for a in send
+                )
+                tr = (
+                    None if nx == 2 else tuple(
+                        jax.lax.ppermute(a, axis, perm=_bwd(axis))
+                        for a in send
+                    )
+                )
+                tabs.append((tl, tr))
+            return tabs
+
+        def _tab_concat(o, tl, tr):
+            """Own + neighbour cells of one type: pos [3C?, nv, 3] +
+            validity mask."""
+            parts_p = [o.pos, tl[1]]
+            parts_a = [o.alive & (o.idx >= 0), tl[2] & (tl[0] >= 0)]
+            if tr is not None:
+                parts_p.append(tr[1])
+                parts_a.append(tr[2] & (tr[0] >= 0))
+            return jnp.concatenate(parts_p), jnp.concatenate(parts_a)
+
         def step(carry):
-            f, it, ov, owned = carry
+            f, it, ov, owned, cep, om_f = carry
+
+            # ---- 1: repulsion at cadence (own + neighbour tables;
+            # reference: applyRepulsionForce pair loops,
+            # core/hemoCellParticleField.cpp:677-743).  The pair search
+            # always runs the Pallas slab-window kernel (interpret mode on
+            # CPU) — the owner path is Pallas-only by construction (the
+            # facade's scatter fallback routes to the replicated runners),
+            # and the kernel's all-pairs windows are MORE complete than
+            # the jnp 27-bin candidate gather in crowded contact zones.
+            ov_rep = jnp.zeros((), jnp.int32)
+            if has_rep or has_brep:
+                from ..cells.repulsion import boundary_repulsion_forces
+
+                def _rep_all(_):
+                    tabs = _nbr_tables(owned)
+                    pos_parts = [flat(owned, "pos")]
+                    gid_parts, act_parts = [], []
+                    for off_t, o in zip(type_offsets, owned):
+                        nv = o.pos.shape[1]
+                        gid_parts.append(jnp.repeat(
+                            jnp.where(o.idx >= 0, off_t + o.idx, -7), nv
+                        ))
+                        act_parts.append(jnp.repeat(
+                            (o.alive & (o.idx >= 0)).astype(dtype), nv
+                        ))
+                    for off_t, o, (tl, tr) in zip(
+                        type_offsets, owned, tabs
+                    ):
+                        nv = o.pos.shape[1]
+                        for t in ((tl,) if tr is None else (tl, tr)):
+                            pos_parts.append(t[1].reshape(-1, 3))
+                            gid_parts.append(jnp.repeat(
+                                jnp.where(t[0] >= 0, off_t + t[0], -7), nv
+                            ))
+                            act_parts.append(jnp.repeat(
+                                (t[2] & (t[0] >= 0)).astype(dtype), nv
+                            ))
+                    all_pos = jnp.concatenate(pos_parts)
+                    all_gid = jnp.concatenate(gid_parts)
+                    all_act = jnp.concatenate(act_parts)
+                    from ..cells.pallas_repulsion import pallas_repulsion
+
+                    # capacity from the GLOBAL suspension (the rows the
+                    # tables cover have full-suspension density, not
+                    # P_local/X density)
+                    fr, ovr = pallas_repulsion(
+                        all_pos, all_gid, all_act, shape,
+                        float(cfg.repulsion_constant),
+                        float(cfg.repulsion_cutoff),
+                        capacity=rep_capacity, interpret=interpret,
+                    )
+                    return fr[:Pl], ovr.astype(jnp.int32)
+
+                def _brep_own(_):
+                    return boundary_repulsion_forces(
+                        flat(owned, "pos"), vert_mask(owned), bmask_const,
+                        shape, cfg.boundary_repulsion_constant,
+                        cfg.boundary_repulsion_cutoff,
+                    )
+
+                carried = flat(owned, "frep")
+                frep = carried
+                if has_rep:
+                    frep, ov_rep = _every(
+                        it, cfg.repulsion_every, _rep_all, None,
+                        (carried, ov_rep),
+                    )
+                    ov = ov + jax.lax.psum(ov_rep, axis)
+                if has_brep:
+                    if has_rep:
+                        frep = frep + _every(
+                            it, cfg.boundary_repulsion_every, _brep_own,
+                            None, jnp.zeros_like(frep),
+                        )
+                    else:
+                        # boundary-only: replace at the boundary timescale
+                        # (deliberate deviation from the reference's
+                        # unbounded accumulation — see dynamics.py)
+                        frep = _every(
+                            it, cfg.boundary_repulsion_every, _brep_own,
+                            None, carried,
+                        )
+                off = 0
+                upd = []
+                for o in owned:
+                    cc, nv = o.pos.shape[0], o.pos.shape[1]
+                    cnt = cc * nv
+                    upd.append(o._replace(
+                        frep=frep[off: off + cnt].reshape(cc, nv, 3)
+                    ))
+                    off += cnt
+                owned = tuple(upd)
+
+            # ---- 1b: interior-viscosity omega updates (slab-local from
+            # own + neighbour tables; reference two-timescale scheme,
+            # core/hemoCellParticleField.cpp:746-807) ----
+            if cfg.interior_every and om_f is not None:
+                from ..cells.interior import (
+                    interior_mask,
+                    membrane_omega_update,
+                )
+
+                x0i = (rank * Xl).astype(jnp.int32)
+
+                def _om_recompute(_):
+                    om_l = jnp.full((Xl, Y, Z), cfg.omega, dtype=dtype)
+                    tabs = _nbr_tables(owned)
+                    for tc, o, (tl, tr) in zip(cfg.types, owned, tabs):
+                        if tc.omega_interior is None:
+                            continue
+                        pos3, alive3 = _tab_concat(o, tl, tr)
+                        m = interior_mask(
+                            pos3, tc.topo["tri"], alive3, shape,
+                            tc.interior_box, x_origin=x0i, x_extent=Xl,
+                        )
+                        om_l = jnp.where(m, tc.omega_interior, om_l)
+                    return om_l
+
+                entire = cfg.interior_entire_every or cfg.interior_every
+                om_f = _every(it, entire, _om_recompute, None, om_f)
+                if cfg.interior_entire_every and \
+                        entire != cfg.interior_every:
+
+                    def _om_membrane(om_l):
+                        tabs = _nbr_tables(owned)
+                        for tc, o, (tl, tr) in zip(cfg.types, owned, tabs):
+                            if tc.omega_interior is None:
+                                continue
+                            pos3, alive3 = _tab_concat(o, tl, tr)
+                            om_l = membrane_omega_update(
+                                om_l, pos3, tc.topo["tri"], alive3,
+                                tc.omega_interior, cfg.omega,
+                                tc.topo["edge_mean_eq"], shape,
+                                x_origin=x0i, x_extent=Xl,
+                            )
+                        return om_l
+
+                    om_f = _every(
+                        it, cfg.interior_every, _om_membrane, om_f, om_f
+                    )
+
             # ---- spread owned forces into the E-extended local grid ----
             pos_f = flat(owned, "pos")
             act = vert_mask(owned)
@@ -231,11 +457,14 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             )
             # ---- envelope halo-add: my ghost deposits land on the
             # neighbours' interiors (reference: syncEnvelopes,
-            # core/hemoCellFields.cpp:377-499 → two ppermutes)
+            # core/hemoCellFields.cpp:377-499 → two ppermutes).
+            # lo_dep covers global [x0-E, x0) = the PREVIOUS shard's tail,
+            # so it ships backward (perm _bwd: I receive the NEXT shard's
+            # lo ghost, which is exactly my tail rows); hi_dep conversely.
             lo_dep = field_ext[:, :E]            # -> prev rows [Xl-E, Xl)
             hi_dep = field_ext[:, E + Xl: Xg]    # -> next rows [0, E)
-            from_next = jax.lax.ppermute(lo_dep, axis, perm=_fwd(axis))
-            from_prev = jax.lax.ppermute(hi_dep, axis, perm=_bwd(axis))
+            from_next = jax.lax.ppermute(lo_dep, axis, perm=_bwd(axis))
+            from_prev = jax.lax.ppermute(hi_dep, axis, perm=_fwd(axis))
             field_l = field_ext[:, E: E + Xl]
             field_l = field_l.at[:, Xl - E:].add(from_next)
             field_l = field_l.at[:, :E].add(from_prev)
@@ -261,14 +490,35 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                                  perm=_bwd(axis))[0],
             )
             om = jnp.asarray(cfg.omega, dtype)
+            om_halo = None
+            if om_f is not None:
+                om = om_f  # [Xl, Y, Z] per-node relaxation
+                om_halo = (
+                    jax.lax.ppermute(om[None, -1:], axis,
+                                     perm=_fwd(axis))[0],
+                    jax.lax.ppermute(om[None, :1], axis,
+                                     perm=_bwd(axis))[0],
+                )
+            bc_halo = None
+            if bc_l is not None:
+                bc_halo = (
+                    jax.lax.ppermute(_last_slice(bc_l, 1), axis,
+                                     perm=_fwd(axis)),
+                    jax.lax.ppermute(_first_slice(bc_l, 1), axis,
+                                     perm=_bwd(axis)),
+                )
             if use_pallas:
                 halos = {"f": (fl, fr), "force": fo_halo}
                 if has_boundaries:
                     halos["flags"] = flg_halo
+                if om_halo is not None:
+                    halos["omega"] = om_halo
+                if bc_halo is not None:
+                    halos["bc"] = bc_halo
                 f_new = stream_collide_pallas(
                     f, force_l, om,
                     flags_l if has_boundaries else None,
-                    None, halos=halos,
+                    bc_l, bc_density=cfg.bc_density, halos=halos,
                 )
             else:
                 f_ext = jnp.concatenate([fl, f, fr], axis=1)
@@ -282,8 +532,38 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     if has_boundaries
                     else jnp.zeros((Xl + 2, Y, Z), jnp.uint8)
                 )
-                f_new = lbm.stream_collide(f_ext, force_j, om, flags_j,
-                                           None)[:, 1:-1]
+                om_j = om
+                if om_halo is not None:
+                    om_j = jnp.concatenate(
+                        [om_halo[0], om, om_halo[1]], axis=0
+                    )
+                bc_ext = None
+                if bc_halo is not None:
+                    bc_ext = jnp.concatenate(
+                        [bc_halo[0], bc_l, bc_halo[1]], axis=1
+                    )
+                f_new = lbm.stream_collide(
+                    f_ext, force_j, om_j, flags_j, bc_ext,
+                    bc_density=cfg.bc_density,
+                )[:, 1:-1]
+
+            # ---- CEPAC advection-diffusion (one-way velocity coupling;
+            # second sharded lattice, 1-row halos — reference:
+            # core/hemoCellFields.cpp:113-139) ----
+            if cfg.cepac_tau is not None and cep is not None:
+                from ..fluid.advection_diffusion import ad_stream_collide
+
+                f_ext2 = _ext_rows(f_new, 1, n=1)
+                force_ext2 = _ext_rows(force_l, 1, n=1)
+                _, u_ext2 = lbm.macroscopic(f_ext2, force_ext2)
+                g_ext = _ext_rows(cep, 1, n=1)
+                m_ext = v_ext = None
+                if cep_mask_l is not None:
+                    m_ext = _ext_rows(cep_mask_l[None], 1, n=1)[0]
+                    v_ext = _ext_rows(cep_val_l[None], 1, n=1)[0]
+                cep = ad_stream_collide(
+                    g_ext, u_ext2, cfg.cepac_tau, m_ext, v_ext
+                )[:, 1:-1]
 
             # ---- interpolate on owner (E-extended velocity block) ------
             def _interp(_):
@@ -373,7 +653,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     pos=new_pos, vel=v_t, force=force, alive=alive,
                     restime=restime,
                 ))
-            return f_new, it + 1, ov, tuple(new_owned)
+            return f_new, it + 1, ov, tuple(new_owned), cep, om_f
 
         def migrate(owned_ov):
             """Re-home cells whose CM crossed a slab boundary (±1 shard)."""
@@ -460,7 +740,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             return tuple(out), ov
 
         def body(i, carry):
-            f, it, ov, owned = carry
+            f, it, ov, owned, cep, om_f = carry
             if resort_k > 1:
                 owned, ov = jax.lax.cond(
                     jnp.mod(i, resort_k) == 0,
@@ -468,9 +748,11 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
             else:
                 owned, ov = migrate((owned, ov))
-            return step((f, it, ov, owned))
+            return step((f, it, ov, owned, cep, om_f))
 
-        return jax.lax.fori_loop(0, n_iter, body, (f0, it0, ov0, owned))
+        return jax.lax.fori_loop(
+            0, n_iter, body, (f0, it0, ov0, owned, cep0, om0)
+        )
 
     # ---------------- entry / exit ---------------------------------------
     def entry(cells):
@@ -546,19 +828,23 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
     resort_k = max(1, int(cfg.resort_every))
 
-    def local_run(state: SimState, flags_l, n_iter):
+    def local_run(state: SimState, flags_l, bc_l, cep_mask_l, cep_val_l,
+                  n_iter):
         owned, ov0 = entry(state.cells)
         ov0 = ov0 + (
             state.ibm_overflow
             if state.ibm_overflow is not None
             else jnp.zeros((), jnp.int32)
         )
-        f, it, ov, owned = local_loop(
-            state.f, state.it, ov0, owned, flags_l, n_iter, resort_k
+        ncs = [cs.pos.shape[0] for cs in state.cells]
+        f, it, ov, owned, cep, om = local_loop(
+            state.f, state.it, ov0, owned, state.cepac,
+            state.omega_field, flags_l, bc_l, cep_mask_l, cep_val_l,
+            ncs, n_iter, resort_k,
         )
         cells = exit_(state.cells, owned)
         return state._replace(
-            f=f, it=it, cells=cells,
+            f=f, it=it, cells=cells, cepac=cep, omega_field=om,
             ibm_overflow=(
                 ov if state.ibm_overflow is not None else None
             ),
@@ -569,6 +855,22 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     flags_sh = jax.device_put(
         jnp.asarray(cfg.flags), NamedSharding(mesh, g_spec)
     )
+    bc_sh = (
+        jax.device_put(jnp.asarray(cfg.bc_velocity),
+                       NamedSharding(mesh, f_spec))
+        if cfg.bc_velocity is not None
+        else None
+    )
+    cep_mask_sh = cep_val_sh = None
+    if cfg.cepac_tau is not None and cfg.cepac_dirichlet_mask is not None:
+        cep_mask_sh = jax.device_put(
+            jnp.asarray(cfg.cepac_dirichlet_mask),
+            NamedSharding(mesh, g_spec),
+        )
+        cep_val_sh = jax.device_put(
+            jnp.asarray(cfg.cepac_dirichlet_value),
+            NamedSharding(mesh, g_spec),
+        )
 
     opts = None
     if jax.default_backend() == "tpu":
@@ -578,17 +880,26 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     def run(state: SimState, n_iter: int) -> SimState:
         specs = jax.tree.map(lambda _: P(), state)
         specs = specs._replace(f=f_spec)
+        if state.cepac is not None:
+            specs = specs._replace(cepac=f_spec)
+        if state.omega_field is not None:
+            specs = specs._replace(omega_field=g_spec)
         sh = jax.shard_map(
             partial(local_run, n_iter=n_iter),
             mesh=mesh,
-            in_specs=(specs, g_spec),
+            in_specs=(
+                specs, g_spec,
+                f_spec if bc_sh is not None else P(),
+                g_spec if cep_mask_sh is not None else P(),
+                g_spec if cep_val_sh is not None else P(),
+            ),
             out_specs=specs,
             check_vma=False,
         )
 
         @partial(jax.jit, compiler_options=opts)
         def _run(s):
-            return sh(s, flags_sh)
+            return sh(s, flags_sh, bc_sh, cep_mask_sh, cep_val_sh)
 
         return _run(state)
 

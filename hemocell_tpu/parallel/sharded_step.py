@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..cells.repulsion import boundary_repulsion_forces, repulsion_forces
+from ..cells.repulsion import boundary_repulsion_forces
 from ..dynamics import SimState, StepConfig, _every, scoped_vmem_limit_kib
 from ..fluid import lbm
 from ..fluid.pallas_lbm import stream_collide_pallas
@@ -244,14 +244,26 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 [cs.force_repulsion.reshape(-1, 3) for cs in cells]
             )
         frep = carried_rep
+        rep_overflow = None
         if pos_flat is not None and cfg.repulsion_constant > 0.0:
+            # same Pallas slab-window kernel as the single-device and
+            # owner paths (shardmap_supported rejects scatter mode, so
+            # this step is Pallas-only by construction); replicated
+            # inputs give identical replicated outputs on every shard
             def _rep(p):
-                return repulsion_forces(
+                from ..cells.pallas_repulsion import pallas_repulsion
+
+                f, ovr = pallas_repulsion(
                     p, cell_gid, active, shape,
-                    cfg.repulsion_constant, cfg.repulsion_cutoff,
+                    float(cfg.repulsion_constant),
+                    float(cfg.repulsion_cutoff),
+                    interpret=interpret,
                 )
-            frep = _every(it, cfg.repulsion_every, _rep, pos_flat,
-                          carried_rep)
+                return f, ovr.astype(jnp.int32)
+            frep, rep_overflow = _every(
+                it, cfg.repulsion_every, _rep, pos_flat,
+                (carried_rep, jnp.zeros((), jnp.int32)),
+            )
         if (
             pos_flat is not None
             and cfg.boundary_repulsion_constant > 0.0
@@ -934,6 +946,9 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         ov_new = state.ibm_overflow
         if ov_new is not None and step_overflow is not None:
             ov_new = jnp.maximum(ov_new, step_overflow)
+        if ov_new is not None and rep_overflow is not None:
+            # replicated repulsion: same value on every shard, no psum
+            ov_new = jnp.maximum(ov_new, rep_overflow)
         return SimState(
             f=f_new, it=it + 1, cells=tuple(cells),
             cepac=cepac_new, omega_field=omega_field_new,

@@ -112,12 +112,185 @@ def test_shard_count_invariance():
                            rtol=0, atol=1e-5)
 
 
+def test_deformed_cells_halo_deposits():
+    """Inflated cells produce nonzero membrane forces from step 0 that
+    spread across slab boundaries — guards the envelope halo-add
+    directions (equilibrium-placed cells spread ~zero force, which made
+    the original tests vacuous for the deposit halo; the r05 direction
+    fix was caught by exactly this pattern)."""
+    cfg, state = _build()
+    cs = state.cells[0]
+    p = np.asarray(cs.pos)
+    cm = p.mean(axis=1, keepdims=True)
+    p = cm + (p - cm) * 1.12
+    state = state._replace(cells=(cs._replace(pos=jnp.asarray(p)),))
+    # the spread force must actually be nonzero or this test is vacuous
+    from hemocell_tpu.dynamics import build_runner as _br
+
+    ref = _br(dataclasses.replace(cfg, spread_mode="pallas"))(state, 1)
+    assert np.abs(np.asarray(ref.cells[0].force)).max() > 1e-6
+    _compare(cfg, state, n=4)
+    _compare(cfg, state, n=4, n_shards=2)
+
+
 def test_unsupported_gating():
     cfg, _ = _build()
-    assert not owner_supported(
+    # v2 covers repulsion / interior viscosity / CEPAC / BC overrides
+    assert owner_supported(
         dataclasses.replace(cfg, repulsion_constant=1.0), 3
     )
+    assert owner_supported(dataclasses.replace(cfg, cepac_tau=0.6), 3)
+    assert owner_supported(dataclasses.replace(cfg, interior_every=4), 3)
+    # genuinely unsupported combos remain gated
     assert not owner_supported(
         dataclasses.replace(cfg, lees_edwards_velocity=0.1), 3
     )
+    assert not owner_supported(
+        dataclasses.replace(cfg, solidify_every=10), 3
+    )
+    assert not owner_supported(
+        dataclasses.replace(cfg, spread_mode="scatter"), 3
+    )
+    assert not owner_supported(
+        dataclasses.replace(cfg, material_integration=2), 3
+    )
     assert not owner_supported(cfg, 0)
+
+
+def test_intercell_repulsion_matches():
+    # translate cell 1 so its closest vertex pair with cell 0 sits at
+    # 0.4 lu — inside a cutoff that respects the 27-bin neighbour-search
+    # design envelope (cutoff <= 1 lu; beyond it candidate coverage is
+    # implementation-defined and the Pallas/jnp paths may differ)
+    cfg, state = _build()
+    cs = state.cells[0]
+    p = np.array(np.asarray(cs.pos))
+    diff = p[0][:, None, :] - p[1][None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    i, j = np.unravel_index(dist.argmin(), dist.shape)
+    p[1] = p[1] - (dist[i, j] - 0.4) * (p[1][j] - p[0][i]) / dist[i, j]
+    state = state._replace(cells=(cs._replace(pos=jnp.asarray(p)),))
+    cfg = dataclasses.replace(
+        cfg, repulsion_constant=5e-4, repulsion_cutoff=1.0,
+        repulsion_every=2,
+    )
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 6
+    )
+    # the pair force must actually be nonzero or this test is vacuous
+    fr = np.concatenate(
+        [np.asarray(c.force_repulsion).ravel() for c in ref.cells]
+    )
+    assert np.abs(fr).max() > 0.0
+    _compare(cfg, state, n=6)
+    _compare(cfg, state, n=6, n_shards=2)  # nx==2 single-copy dedup
+
+
+def test_boundary_repulsion_matches():
+    from hemocell_tpu.cells.repulsion import boundary_neighbor_mask
+
+    cfg, state = _build(walls=True)
+    bmask = boundary_neighbor_mask(np.asarray(cfg.flags))
+    cfg = dataclasses.replace(
+        cfg, boundary_repulsion_constant=5e-4,
+        boundary_repulsion_cutoff=1.5, boundary_repulsion_every=2,
+        boundary_mask=jnp.asarray(bmask),
+    )
+    _compare(cfg, state, n=6)
+
+
+def test_interior_viscosity_matches():
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state = _build()
+    tc = dataclasses.replace(
+        cfg.types[0], omega_interior=0.5, interior_box=20
+    )
+    cfg = dataclasses.replace(
+        cfg, types=[tc], interior_every=2, interior_entire_every=4
+    )
+    state = initial_sim_state(cfg, state.cells)
+    out = _compare(cfg, state, n=6)
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 6
+    )
+    assert np.allclose(
+        np.asarray(out.omega_field), np.asarray(ref.omega_field),
+        rtol=0, atol=1e-6,
+    )
+    # the interior omega must actually differ somewhere
+    assert (np.asarray(ref.omega_field) == 0.5).any()
+
+
+def test_cepac_matches():
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state = _build()
+    cfg = dataclasses.replace(cfg, cepac_tau=0.62)
+    g0 = np.zeros(cfg.shape, np.float32)
+    g0[28:36, 8:16, 8:16] = 1.0
+    state = initial_sim_state(cfg, state.cells, cepac0=jnp.asarray(g0))
+    out = _compare(cfg, state, n=6)
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 6
+    )
+    assert np.allclose(
+        np.asarray(out.cepac), np.asarray(ref.cepac),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_velocity_bc_matches():
+    cfg, state = _build(shear_velocity=0.01)
+    _compare(cfg, state, n=6)
+
+
+def test_facade_auto_selects_owner(tmp_path):
+    """distribute() picks the owner-computes path by default whenever it
+    covers the configuration — including repulsion (v2) — and falls back
+    to the replicated step when forced or unsupported."""
+    from hemocell_tpu import HemoCell
+
+    (tmp_path / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx>
+        <dt>1e-7</dt><kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    (tmp_path / "RBC.xml").write_text(
+        (os.path.join(os.path.dirname(__file__), "..") and open(
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "cell_templates",
+                "RBC_template.xml",
+            )
+        ).read())
+    )
+    (tmp_path / "RBC.pos").write_text(
+        "2\n12.0 6.0 6.0 0 0 0\n36.0 6.0 6.0 0 0 0\n"
+    )
+
+    def build():
+        hc = HemoCell(str(tmp_path / "config.xml"))
+        hc.initialize_lattice(shape=(128, 24, 24))
+        hc.add_cell_type("RBC", "RbcHighOrderModel")
+        hc.load_particles()
+        hc.set_body_force((1e-6, 0.0, 0.0))
+        hc.enable_repulsion(constant=5e-4, cutoff=1.0, every=2)
+        return hc
+
+    hc = build()
+    hc.distribute(4)
+    hc.iterate(2)
+    hc.block()
+    assert hc._distributed_mode == "owner"
+
+    # forced replicated path still works and is honoured
+    hc2 = build()
+    hc2.distribute(4, particle_sharding="replicated")
+    hc2.iterate(2)
+    hc2.block()
+    assert hc2._distributed_mode in ("shardmap", "gspmd")
+    assert np.allclose(
+        np.asarray(hc.state.f), np.asarray(hc2.state.f),
+        rtol=1e-6, atol=1e-7,
+    )
