@@ -53,6 +53,14 @@ def main():
     ap.add_argument("--spare-slots", type=int, default=64)
     ap.add_argument("--pulse-period", type=int, default=None,
                     help="pulse period in steps (default: 1/pFrequency / dt)")
+    ap.add_argument("--distribute", type=int, default=0,
+                    help="run main domain sharded over N devices (the "
+                    "reference runs these cases multi-rank, "
+                    "helper/preInlet.cpp:254-452)")
+    ap.add_argument("--tcheckpoint", type=int, default=0,
+                    help="checkpoint every N iterations")
+    ap.add_argument("--checkpoint-dir", default="checkpoint")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     hc = build_pipeflow(args.config)
@@ -108,21 +116,51 @@ def main():
 
     r = hc.params.pipe_radius
     poiseuille = 8 * hc.params.nu_lbm * (hc.params.u_lbm_max * 0.5) / r / r
+    runner = dmesh = None
+    if args.distribute:
+        # distributed flagship: main domain sharded over the mesh,
+        # preinlet replicated, one shard_map program (the reference's
+        # preinlet/domain rank split, core/hemoCell.cpp:475-571)
+        from hemocell_tpu.parallel import make_mesh
+        from hemocell_tpu.utils.preinlet import (
+            build_coupled_shardmap_runner,
+            shard_preinlet_state,
+        )
+
+        if hc.shape[0] % args.distribute:
+            sys.exit(f"X={hc.shape[0]} not divisible by {args.distribute}")
+        dmesh = make_mesh(args.distribute, axes=("x",))
+        runner = build_coupled_shardmap_runner(
+            pre_cfg, main_cfg, dmesh,
+            target_mean_velocity=hc.params.u_lbm_max * 0.4,
+            pulse_profile=pulse, pulse_period_steps=period,
+        )
     stepper = make_coupled_stepper(
         pre_cfg, main_cfg,
         target_mean_velocity=hc.params.u_lbm_max * 0.4,
         pulse_profile=pulse, pulse_period_steps=period,
     )
-    st = PreInletState(
-        pre=pre_state,
-        main=main_state,
-        body_force=jnp.asarray(poiseuille, hc.dtype),
-        crossings=initial_crossings(pre_state, hc.shape[0]),
-    )
+    if args.resume:
+        from hemocell_tpu.io import load_preinlet_checkpoint
+
+        st, meta = load_preinlet_checkpoint(args.checkpoint_dir,
+                                            dtype=hc.dtype)
+        print(f"(preinlet-vessel) resumed at iter {int(st.pre.it)}"
+              f" from {args.checkpoint_dir}")
+    else:
+        st = PreInletState(
+            pre=pre_state,
+            main=main_state,
+            body_force=jnp.asarray(poiseuille, hc.dtype),
+            crossings=initial_crossings(pre_state, hc.shape[0]),
+        )
 
     report = max(1, args.tmax // 10)
-    for it in range(args.tmax):
-        st = stepper(st)
+    start = int(st.pre.it)
+    if runner is not None:
+        st = shard_preinlet_state(st, dmesh)
+    for it in range(start, args.tmax):
+        st = runner(st, 1) if runner is not None else stepper(st)
         if (it + 1) % report == 0:
             jax.block_until_ready(st)
             n_main = sum(int(cs.alive.sum()) for cs in st.main.cells)
@@ -131,6 +169,11 @@ def main():
                 f"iter {it + 1}: preinlet cells {n_pre}, main cells {n_main},"
                 f" drive {float(st.body_force):.3e}"
             )
+        if args.tcheckpoint and (it + 1) % args.tcheckpoint == 0:
+            from hemocell_tpu.io import save_preinlet_checkpoint
+
+            save_preinlet_checkpoint(args.checkpoint_dir, st)
+            print(f"(preinlet-vessel) checkpoint @ {it + 1}")
     print("(preinlet-vessel) done")
 
 

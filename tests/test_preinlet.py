@@ -396,3 +396,76 @@ def test_preinlet_distributed_matches():
     np.testing.assert_allclose(np.asarray(out2.main.cells[0].pos),
                                np.asarray(ref2.main.cells[0].pos),
                                rtol=0, atol=1e-5)
+
+
+def test_distributed_pulsatile_matches():
+    """Pulsatile drive (AR2_pulsatile machinery: normalized waveform
+    scaling the adaptive body force, helper/preInlet.cpp:802-911) through
+    the DISTRIBUTED coupled runner matches the single-device stepper —
+    the code path cases/preinlet_vessel.py --distribute uses."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+
+    from hemocell_tpu.parallel.sharding import make_mesh
+    from hemocell_tpu.utils.preinlet import (
+        build_coupled_shardmap_runner,
+        shard_preinlet_state,
+    )
+
+    shape = (32, 12, 12)
+    dtype = jnp.float32
+    mesh_t, tc = _type(dtype)
+    walls = np.zeros(shape, np.uint8)
+    walls[:, 0, :] = FLAG_WALL
+    walls[:, -1, :] = FLAG_WALL
+    pre_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(walls), omega=1.0, types=[tc],
+        body_force=jnp.asarray([1e-5, 0, 0], dtype), dtype=dtype,
+        use_pallas=False,
+    )
+    mflags = walls.copy()
+    mflags[0, 1:-1, :] = FLAG_VELOCITY
+    main_cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(mflags), omega=1.0, types=[tc],
+        dtype=dtype, use_pallas=False,
+    )
+    pre_cells = make_cell_state(
+        (mesh_t.vertices + np.array([16.0, 6.0, 6.0]))[None], dtype=dtype
+    )
+    pre_state = initial_sim_state(pre_cfg, [pre_cells])
+    far = np.repeat(
+        mesh_t.vertices[None] + np.array([-100.0, 6.0, 6.0]), 2, axis=0
+    )
+    main_cells = make_cell_state(far, dtype=dtype)
+    main_cells = main_cells._replace(alive=jnp.zeros(2, bool))
+    main_state = initial_sim_state(main_cfg, [main_cells])
+    main_state = main_state._replace(bc_state=jnp.zeros((3,) + shape, dtype))
+    st0 = PreInletState(
+        pre=pre_state, main=main_state,
+        body_force=jnp.asarray(1e-5, dtype),
+        crossings=initial_crossings(pre_state, shape[0]),
+    )
+    pulse = jnp.asarray([0.6, 1.4, 1.0, 0.8, 1.2], jnp.float32)
+
+    stepper = make_coupled_stepper(
+        pre_cfg, main_cfg, target_mean_velocity=1e-3,
+        pulse_profile=pulse, pulse_period_steps=5,
+    )
+    ref = st0
+    for _ in range(7):
+        ref = stepper(ref)
+    jax.block_until_ready(ref)
+
+    mesh = make_mesh(4)
+    run = build_coupled_shardmap_runner(
+        pre_cfg, main_cfg, mesh, target_mean_velocity=1e-3,
+        pulse_profile=pulse, pulse_period_steps=5,
+    )
+    out = run(shard_preinlet_state(st0, mesh), 7)
+    jax.block_until_ready(out)
+    np.testing.assert_allclose(np.asarray(out.main.f),
+                               np.asarray(ref.main.f), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.body_force),
+                               np.asarray(ref.body_force), rtol=1e-6)
