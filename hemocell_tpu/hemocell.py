@@ -446,7 +446,10 @@ class HemoCell:
                  for cs in self.cell_states]
             )
             if pos_all.shape[0]:
-                ibm_cap = adaptive_capacity(pos_all, self.shape[0])
+                ibm_cap = adaptive_capacity(
+                    pos_all, self.shape[0],
+                    margin=getattr(self, "_ibm_capacity_margin", 1.5),
+                )
         cfg = StepConfig(
             shape=self.shape,
             flags=self.flags,
@@ -716,14 +719,38 @@ class HemoCell:
         if prev is not None and int(np.asarray(prev)) > 0:
             import warnings as _w
 
-            _w.warn(
-                f"IBM slab-window overflow detected by iteration "
-                f"{self.iter} ({int(np.asarray(prev))} dropped "
-                f"contributions): falling back to spread_mode='scatter' "
-                f"for subsequent steps; re-run from the last checkpoint "
-                f"for exact results", stacklevel=3,
+            # recovery first (r05): rebuild the Pallas plan with window
+            # capacities re-measured from the CURRENT (redistributed)
+            # positions and an escalated margin, instead of permanently
+            # degrading the whole run to the ~10x-slower scatter path.
+            # Repeated overflow (persistent crowding the margins can't
+            # absorb) falls back to scatter for good.
+            recoveries = getattr(self, "_overflow_recoveries", 0)
+            n_verts = sum(
+                cs.pos.shape[0] * cs.pos.shape[1] for cs in self.cell_states
             )
-            self.spread_mode = "scatter"
+            if recoveries < 2 and n_verts > 0:
+                self._overflow_recoveries = recoveries + 1
+                self._ibm_capacity_margin = 1.5 * (1.6 ** (recoveries + 1))
+                _w.warn(
+                    f"IBM slab-window overflow detected by iteration "
+                    f"{self.iter} ({int(np.asarray(prev))} dropped "
+                    f"contributions): rebuilding Pallas windows from the "
+                    f"current occupancy (recovery "
+                    f"{recoveries + 1}/2, margin "
+                    f"{self._ibm_capacity_margin:.2f}); re-run from the "
+                    f"last checkpoint for exact results", stacklevel=3,
+                )
+            else:
+                _w.warn(
+                    f"IBM slab-window overflow detected by iteration "
+                    f"{self.iter} ({int(np.asarray(prev))} dropped "
+                    f"contributions): falling back to "
+                    f"spread_mode='scatter' for subsequent steps; re-run "
+                    f"from the last checkpoint for exact results",
+                    stacklevel=3,
+                )
+                self.spread_mode = "scatter"
             self._ov_pending = None
             self._state = self._state._replace(
                 ibm_overflow=jnp.zeros((), jnp.int32)

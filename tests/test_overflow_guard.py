@@ -143,3 +143,53 @@ def test_profile_phases_smoke(tmp_path):
                 "interpolateFluidVelocity", "applyConstitutiveModel",
                 "other (advance/integrate/machinery)"):
         assert key in res and res[key] >= 0
+
+
+def test_overflow_recovers_to_pallas_then_scatter(tmp_path):
+    """r05: first overflow REBUILDS the Pallas windows from current
+    occupancy with an escalated margin (no permanent scatter
+    degradation); only repeated overflow falls back to scatter."""
+    from hemocell_tpu import HemoCell
+
+    cfgdir = tmp_path / "case"
+    os.makedirs(cfgdir, exist_ok=True)
+    (cfgdir / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx><dt>1e-7</dt>
+        <kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    (cfgdir / "RBC.xml").write_text(open(os.path.join(
+        os.path.dirname(__file__), "..", "tools", "cell_templates",
+        "RBC_template.xml")).read())
+    (cfgdir / "RBC.pos").write_text("1\n12.0 6.0 6.0 0 0 0\n")
+    hc = HemoCell(str(cfgdir / "config.xml"))
+    hc.initialize_lattice(shape=(48, 24, 24))
+    hc.add_cell_type("RBC", "RbcHighOrderModel")
+    hc.load_particles()
+    hc.iterate(1)
+    cap0 = hc._step_cfg.ibm_capacity
+
+    def inject_and_trip():
+        hc._state = hc._state._replace(
+            ibm_overflow=jnp.asarray(9, jnp.int32))
+        hc.iterate(1)
+        with pytest.warns(UserWarning, match="overflow"):
+            hc.iterate(1)
+            hc.block()
+
+    inject_and_trip()
+    assert getattr(hc, 'spread_mode', None) is None  # recovered, still Pallas
+    assert hc._overflow_recoveries == 1
+    hc.iterate(2)  # rebuilt runner executes
+    hc.block()
+    assert hc._step_cfg.ibm_capacity >= cap0  # escalated margin
+
+    inject_and_trip()
+    assert getattr(hc, 'spread_mode', None) is None
+    assert hc._overflow_recoveries == 2
+
+    inject_and_trip()  # third strike: permanent scatter fallback
+    assert hc.spread_mode == "scatter"
+    hc.iterate(1)
+    hc.block()
