@@ -280,5 +280,27 @@ def _add_regression_note(result):
         result["REGRESSED_vs_r" + prev_round] = regressed
 
 
+def _mesh_mode(n_shards: int):
+    """--mesh N: multi-device scaling evidence (virtual CPU devices when
+    the backend lacks N real chips) — delegates to scripts/bench_mesh.py
+    in a fresh interpreter so the platform pin happens before JAX inits."""
+    import subprocess
+
+    env = dict(os.environ)
+    if len(jax.devices()) < n_shards:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_shards}"
+        ).strip()
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_mesh.py")
+    raise SystemExit(subprocess.call(
+        [sys.executable, script, "--shards", str(n_shards)], env=env
+    ))
+
+
 if __name__ == "__main__":
+    if "--mesh" in sys.argv:
+        _mesh_mode(int(sys.argv[sys.argv.index("--mesh") + 1]))
     main()

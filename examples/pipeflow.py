@@ -29,18 +29,23 @@ from hemocell_tpu.config.defaults import FLAG_FLUID
 from hemocell_tpu.utils.voxelize import pad_flags_tpu, voxelize_stl
 
 
-def build_pipeflow(config_path: str, outdir: str | None = None) -> HemoCell:
+def build_pipeflow(config_path: str, outdir: str | None = None,
+                   erode: int | None = None) -> HemoCell:
     hc = HemoCell(config_path)
     cfg = hc.cfg
 
     stl = os.path.join(cfg.directory, cfg["domain"]["geometry"].read(str))
     ref_dir_n = cfg["domain"]["refDirN"].read(int)
     ref_dir = cfg["domain"]["refDir"].read(int)
-    # <voxelizeErode>1</voxelizeErode> tightens the lumen by one
-    # face-connected voxel (≈ Palabos `inside` without innerBorder); on the
-    # reference tube it keeps 48 cells vs 52 at the default 0 (the
-    # reference keeps 42 — PARITY.md documents the measured sensitivity).
-    erode = cfg["domain"].get("voxelizeErode", int, 0)
+    # <voxelizeErode>N</voxelizeErode> tightens the lumen by N
+    # face-connected voxels.  Measured kept-cell sensitivity on the
+    # reference tube (reference keeps exactly 42, test_pipeflow.cpp:91):
+    # erode 0 -> 52, 1 -> 48, 2 -> 43 — the Palabos lumen sits ~2 voxels
+    # inside our exact ray-parity surface (inflate() is 1e-3 lu, so the
+    # residual lives in unvendored VoxelizedDomain3D internals; PARITY.md).
+    # Validation/CI runs pass erode=2 to reproduce the oracle within +-1.
+    if erode is None:
+        erode = cfg["domain"].get("voxelizeErode", int, 0)
     flags, info = voxelize_stl(stl, ref_dir_n, ref_dir, erode=erode)
     # pad the tube to TPU-friendly extents: X -> %8 via replicated
     # cross-section planes (exact: flow axis is periodic and x-uniform),

@@ -369,6 +369,8 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
         # replaces XLA's serialised scatter.
         idx = w = None
         step_overflow = None  # slab-window overflow from this step's plan
+        fused_hits = None  # per-cell wall-contact counts from the fused
+        # spread pass (shadow + boundaries; see _spread_renorm_hit_kernel)
         if pos_flat is not None:
             P0 = pos_flat.shape[0]
             P_pad = -(-P0 // 512) * 512
@@ -528,12 +530,23 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     )
 
                 new_shadow = jax.lax.cond(resync, _resync, _carry, None)
-                field = pallas_spread_shadow(
-                    new_shadow.plan, shape, ibm_capacity, mm=cfg.ibm_mm,
-                    mask=fluid_mask3 if has_boundaries else None,
-                )
                 if has_boundaries:
+                    # wall-contact counts fused into the spread pass (same
+                    # windows/iotas; saves the standalone 0.32 ms/it hit
+                    # kernel).  Verdict positions = post-advance of the
+                    # PREVIOUS step, so deletion lands one step after the
+                    # reference's schedule (see _spread_renorm_hit_kernel).
+                    field, fused_hits = pallas_spread_shadow(
+                        new_shadow.plan, shape, ibm_capacity,
+                        mm=cfg.ibm_mm, mask=fluid_mask3,
+                        hit_cells=sum(cs.pos.shape[0] for cs in cells),
+                    )
                     field = field * fluid_mask3[None]
+                else:
+                    field = pallas_spread_shadow(
+                        new_shadow.plan, shape, ibm_capacity,
+                        mm=cfg.ibm_mm, mask=None,
+                    )
                 force_field = _mat_force(force_field) + field
                 step_overflow = new_shadow.plan.overflow
             elif use_pallas_ibm:
@@ -910,7 +923,13 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 )
             )
             new_shadow = new_shadow._replace(plan=plan2)
-            if has_boundaries and pos_flat is not None and use_pallas_ibm:
+            if has_boundaries and fused_hits is not None:
+                # r05: the counts were computed IN the spread pass (same
+                # windows), replacing the standalone nearest-node kernel
+                # (0.32 ms/it); deletion is one step deferred vs the
+                # reference schedule (see _spread_renorm_hit_kernel)
+                hit_counts = fused_hits
+            elif has_boundaries and pos_flat is not None and use_pallas_ibm:
                 # per-cell wall-contact counts via the Pallas nearest-node
                 # kernel: replaces a [P] arbitrary flags gather that
                 # measured 1.86 ms/it (47% of the step) on pipeflow30

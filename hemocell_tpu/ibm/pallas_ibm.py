@@ -669,10 +669,86 @@ def shadow_supported_drift(resort_every: int, u_max: float = 0.05) -> bool:
     return resort_every * u_max < (EXTRA - 1) / SUBDIV
 
 
+def _spread_renorm_hit_kernel(C, CH, X, Y, Z, NCp, M, E, mm, starts_ref,
+                              pos_hbm, F_hbm, m_lo, m_hi, out_pair, out_hit,
+                              pos_v2, F_v2, sem_p, sem_f):
+    """Spread + renormalisation + FUSED per-cell wall-contact counts.
+
+    The standalone wall-hit kernel (_hit_kernel) re-reads exactly the
+    windows this kernel just loaded and rebuilds the same iotas — measured
+    0.32 ms/it on pipeflow30 (scripts/probe_ablate30.py, r05).  Here the
+    nearest-node wall sample and the cellId one-hot reduction ride the
+    spread pass: the wall indicator is the COMPLEMENT of the renorm fluid
+    mask already on-chip, so no extra operand or window DMA exists.  The
+    verdict is computed from the spread positions (= post-advance of the
+    PREVIOUS step), so boundary-contact deletion lands one step after the
+    reference's schedule (core/hemoCellParticleField.cpp:566-588) — the
+    dying cell spreads one extra (solid-masked, force-capped) deposit."""
+    g = pl.program_id(0) - (1 if E else 0)
+    al, nch = _window_bounds(starts_ref, g, X, M, E, C, CH)
+
+    pos_v, F_v = _prefetched_window(
+        starts_ref, X, M, E, C,
+        (pos_hbm, F_hbm), (pos_v2, F_v2), (sem_p, sem_f),
+    )
+
+    out_pair[0] = jnp.zeros((3, Y, 2 * Z), F_v.dtype)
+    out_hit[0] = jnp.zeros((8, NCp), F_v.dtype)
+    ids = _window_iotas(CH, Y, Z)
+    ids_y, ids_zm, lo_half = ids
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (CH, NCp), 1)
+    m_pair = jnp.concatenate([m_lo[0, 0], m_hi[0, 0]], axis=1)  # [Y, 2Z]
+    w_pair = 1.0 - m_pair  # wall indicator = complement of the fluid mask
+
+    def _chunk(ci, carry):
+        sl = pl.ds(pl.multiple_of(ci * CH, CH), CH)
+        p4 = pos_v[:, sl]
+        Sy, Szf = _window_weights(p4, g, X, CH, Y, Z, ids)
+        t = jax.lax.dot_general(
+            _mm_cast(m_pair, mm), _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=F_v.dtype,
+        )  # [Y, CH]
+        s = jnp.sum(Sy * t, axis=0, keepdims=True)
+        scale = 1.0 / jnp.maximum(s, 1e-30)
+        F = F_v[:, sl] * scale
+        M3 = jnp.concatenate(
+            [Sy * F[c : c + 1, :] for c in range(3)], axis=0
+        )
+        planes = jax.lax.dot_general(
+            _mm_cast(M3, mm), _mm_cast(Szf, mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=F_v.dtype,
+        )
+        out_pair[0] += planes.reshape(3, Y, 2 * Z)
+
+        # nearest-node wall test (_hit_kernel math, same claim structure)
+        px, py, pz, cid = p4[0:1], p4[1:2], p4[2:3], p4[3:4]
+        mine = (jnp.floor(px).astype(jnp.int32) == g).astype(px.dtype)
+        hi_x = (px - jnp.floor(px)) >= 0.5
+        ny = jnp.mod(jnp.floor(py + 0.5).astype(jnp.int32), Y)
+        nz = jnp.mod(jnp.floor(pz + 0.5).astype(jnp.int32), Z)
+        Syn = (ids_y == ny).astype(px.dtype)  # [Y, CH]
+        Szn = ((ids_zm == nz) & (lo_half != hi_x)).astype(px.dtype)
+        th = jax.lax.dot_general(
+            w_pair, Szn, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=px.dtype,
+        )  # [Y, CH]
+        hit = jnp.sum(Syn * th, axis=0, keepdims=True) * mine  # [1, CH]
+        oh = (ids_c == cid.astype(jnp.int32).reshape(CH, 1)).astype(px.dtype)
+        out_hit[0, 0:1] += jax.lax.dot_general(
+            hit, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=px.dtype,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nch, _chunk, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
-                                             "mm"))
+                                             "mm", "hit_cells"))
 def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
-                         mask=None):
+                         mask=None, hit_cells=None):
     """Spread from a shadow plan (pos_cm holds CURRENT, possibly drifted,
     unwrapped positions; payload_cm the current sorted forces).
 
@@ -681,7 +757,13 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
     walled path — this is what lets walled domains (pipeflow tube) ride the
     amortised-resort shadow instead of re-sorting every step.
 
-    Returns the [3,X,Y,Z] field."""
+    With ``hit_cells=n`` (requires ``mask`` and a plan whose pos_cm row 3
+    carries cell ids), the per-cell wall-contact counts are computed IN the
+    same pass (the standalone wall-hit kernel's windows and iotas are
+    shared — see _spread_renorm_hit_kernel) and the return becomes
+    ``(field, hits[n])``.
+
+    Returns the [3,X,Y,Z] field (or ``(field, hits)``)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, Y, Z = (int(s) for s in shape)
@@ -718,22 +800,57 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    if mask is not None:
-        kernel = functools.partial(
-            _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z,
-            SUBDIV, EXTRA, mm
+    hits = None
+    if mask is not None and hit_cells is not None:
+        NCp = -(-max(1, int(hit_cells)) // 128) * 128
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(X + 2,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 3, Y, 2 * Z), lambda q, s: (q, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, NCp), lambda q, s: (q, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, C), plan.pos_cm.dtype),
+                pltpu.VMEM((2, 4, C), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         )
+        kernel = functools.partial(
+            _spread_renorm_hit_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z,
+            NCp, SUBDIV, EXTRA, mm
+        )
+        pair, hit_blocks = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((X + 2, 3, Y, 2 * Z), dtype),
+                jax.ShapeDtypeStruct((X + 2, 8, NCp), dtype),
+            ],
+            interpret=interpret,
+        )(plan.starts, *operands)
+        hits = jnp.sum(hit_blocks[:, 0], axis=0)[: int(hit_cells)]
     else:
-        kernel = functools.partial(
-            _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV, EXTRA,
-            mm
-        )
-    pair = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((X + 2, 3, Y, 2 * Z), dtype),
-        interpret=interpret,
-    )(plan.starts, *operands)
+        if mask is not None:
+            kernel = functools.partial(
+                _spread_renorm_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z,
+                SUBDIV, EXTRA, mm
+            )
+        else:
+            kernel = functools.partial(
+                _spread_kernel, C, _pick_chunk(C, Y, Z), X, Y, Z, SUBDIV,
+                EXTRA, mm
+            )
+        pair = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((X + 2, 3, Y, 2 * Z), dtype),
+            interpret=interpret,
+        )(plan.starts, *operands)
     # lane halves -> per-program deposit planes, then onto lattice rows:
     # program q claims slab s = q-1; lo -> row mod(s, X), hi -> mod(s+1, X)
     lo, hi = pair[..., :Z], pair[..., Z:]
@@ -741,7 +858,10 @@ def pallas_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
     field = field.at[0].add(lo[X + 1] + hi[X])
     field = field.at[1].add(hi[X + 1])
     field = field.at[X - 1].add(lo[0])
-    return field.transpose(1, 0, 2, 3)
+    field = field.transpose(1, 0, 2, 3)
+    if hits is not None:
+        return field, hits
+    return field
 
 
 @functools.partial(

@@ -98,10 +98,11 @@ def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
         # the existing flags ppermute), phase A's interior hardening is a
         # slab-local scatter (x_origin/x_extent, like interior viscosity)
         # and phase B's 27-neighbour binding/Tresca test reads 1-row
-        # ppermute ghosts + a cell-hit psum.  Interior-viscosity / LE /
-        # CEPAC combos and 2-D meshes stay on the GSPMD runner.
-        if cfg.interior_every or cfg.lees_edwards_velocity is not None \
-                or cfg.cepac_tau is not None:
+        # ppermute ghosts + a cell-hit psum.  r05 widened the combos:
+        # CEPAC (independent phase 3b) and interior viscosity (independent
+        # slab-local omega updates, phase 2b) now ride along — only LE and
+        # 2-D meshes stay on the GSPMD runner.
+        if cfg.lees_edwards_velocity is not None:
             return False
         if mesh is not None and len(mesh.axis_names) > 1 and \
                 int(mesh.shape[mesh.axis_names[1]]) > 1:

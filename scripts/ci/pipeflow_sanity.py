@@ -64,16 +64,14 @@ def main():
         else "/root/reference/examples/pipeflow/config.xml"
     )
 
-    hc = build_pipeflow(config)
+    # erode=2: the validation lumen (Palabos's effective lumen measured
+    # ~2 face-connected voxels inside our exact parity surface; kept-cell
+    # sensitivity 52/48/43 at erode 0/1/2 vs the reference's exact 42 —
+    # PARITY.md).  CI band = the reference oracle ±2.
+    hc = build_pipeflow(config, erode=2)
     n0 = sum(hc.alive_count(i) for i in range(len(hc.cell_types)))
-    # Deterministic placement: 52 kept at the default lumen, 48 with
-    # <voxelizeErode>1</voxelizeErode> (reference keeps exactly 42;
-    # measured sensitivity in PARITY.md).  Band ±4 around the measured
-    # count per mode — far tighter than the old 38..58.
-    erode = hc.cfg["domain"].get("voxelizeErode", int, 0)
-    lo, hi = (44, 52) if erode else (48, 56)
-    check("cell count", lo <= n0 <= hi,
-          f"({n0}; expected [{lo},{hi}] at erode={erode}; reference keeps 42)")
+    check("cell count 42±2 (reference oracle, erode=2 lumen)",
+          40 <= n0 <= 44, f"({n0}; reference keeps exactly 42)")
 
     hc.iterate(1000)
     hc.block()

@@ -118,3 +118,22 @@ def test_walled_shadow_matches_scatter():
         np.asarray(out.cells[0].pos), np.asarray(ref.cells[0].pos),
         rtol=0, atol=1e-5,
     )
+
+
+def test_fused_wall_hit_deletes():
+    """r05: the wall-contact verdict is computed IN the fused spread pass
+    (one step deferred vs the reference's post-advance schedule — see
+    _spread_renorm_hit_kernel).  A cell whose vertices overlap the wall
+    shell must still be deleted through the shadow path, within one step
+    of the per-step-sort path's deletion."""
+    # center the cell just off-axis so its rim pokes into the wall shell
+    cfg, state = _tube_cfg(centers=((16.0, 8.0, 12.5),))
+    ref = build_runner(cfg)(state, 3)
+    out = build_runner(dataclasses.replace(cfg, resort_every=8))(state, 3)
+    ref_alive = bool(np.asarray(ref.cells[0].alive)[0])
+    out_alive = bool(np.asarray(out.cells[0].alive)[0])
+    assert not ref_alive, "test is vacuous: reference path did not delete"
+    assert not out_alive, "fused wall-hit verdict failed to delete"
+    # restime froze within one step of the reference's
+    assert abs(int(np.asarray(out.cells[0].restime)[0])
+               - int(np.asarray(ref.cells[0].restime)[0])) <= 1

@@ -114,15 +114,24 @@ def test_unsupported_features_detected():
     assert not shardmap_supported(
         dataclasses.replace(cfg, lees_edwards_velocity=0.01, flags=flags_w)
     )
-    # r04: solidify gained a 1-D shard_map fast path; combos with
-    # interior viscosity / LE / CEPAC and 2-D meshes stay on GSPMD
+    # r04: solidify gained a 1-D shard_map fast path; r05 widened it to
+    # the CEPAC and interior-viscosity combos — only LE and 2-D meshes
+    # stay on GSPMD
     assert shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
     assert not shardmap_supported(
         dataclasses.replace(cfg, solidify_every=2),
         make_mesh(8, axes=("x", "y")),
     )
-    assert not shardmap_supported(
+    assert shardmap_supported(
         dataclasses.replace(cfg, solidify_every=2, cepac_tau=0.6)
+    )
+    assert shardmap_supported(
+        dataclasses.replace(cfg, solidify_every=2, interior_every=2)
+    )
+    assert not shardmap_supported(
+        dataclasses.replace(
+            cfg, solidify_every=2, lees_edwards_velocity=0.01
+        )
     )
     # r04: CEPAC gained a shard_map fast path
     assert shardmap_supported(dataclasses.replace(cfg, cepac_tau=0.6))
@@ -444,4 +453,62 @@ def test_solidify_shardmap():
         np.testing.assert_array_equal(np.asarray(co.solidify),
                                       np.asarray(cr.solidify))
     # the feature fired identically: some nodes solidified
+    assert (np.asarray(ref.flags_state) != flags).any()
+
+
+def test_solidify_cepac_interior_combo_shardmap():
+    """r05: the solidify + CEPAC + interior-viscosity COMBINATION rides
+    the 1-D shard_map fast path (previously a GSPMD cliff — VERDICT r04
+    weak #2): each phase is independent in the local step, so the combo
+    must match the single-device step like each feature alone."""
+    from hemocell_tpu.cells.state import make_cell_state
+    from hemocell_tpu.dynamics import StepConfig, TypeConfig, \
+        initial_sim_state
+    from hemocell_tpu.mechanics import (
+        MODEL_REGISTRY,
+        MaterialConstants,
+        material_dict,
+        topology_device_arrays,
+    )
+    from hemocell_tpu.mesh import build_topology, ellipsoid_from_sphere
+
+    mesh_t = ellipsoid_from_sphere(2.5, 0.435, 66)
+    topo = build_topology(mesh_t)
+    shape = (32, 16, 16)
+    flags = np.zeros(shape, np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    tc = TypeConfig(
+        name="PLT", model_fn=MODEL_REGISTRY["PltSimpleModel"],
+        topo=topology_device_arrays(topo),
+        material=material_dict(MaterialConstants(
+            k_volume=0.5, k_area=0.5, k_link=0.5, k_bend=0.2)),
+        solidify=True, distance_threshold=2.0, shear_threshold=-1.0,
+        interior_box=12, omega_interior=0.6,
+    )
+    cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(flags), omega=1.0, types=[tc],
+        solidify_every=2, cepac_tau=0.62, interior_every=2,
+        interior_entire_every=4,
+    )
+    assert shardmap_supported(cfg)
+    cells = make_cell_state(
+        (mesh_t.vertices + np.array([12.0, 8.0, 3.6]))[None],
+    )
+    g0 = np.zeros(shape, np.float32)
+    g0[12:20, 4:12, 4:12] = 1.0
+    state = initial_sim_state(cfg, [cells], cepac0=jnp.asarray(g0))
+
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 4
+    )
+    mesh = make_mesh(8)
+    out = build_shardmap_runner(cfg, mesh)(shard_state(state, mesh), 4)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.flags_state),
+                                  np.asarray(ref.flags_state))
+    assert np.allclose(np.asarray(out.cepac), np.asarray(ref.cepac),
+                       rtol=1e-6, atol=1e-8)
+    assert np.allclose(np.asarray(out.omega_field),
+                       np.asarray(ref.omega_field), rtol=0, atol=1e-6)
     assert (np.asarray(ref.flags_state) != flags).any()
