@@ -162,6 +162,11 @@ def main():
         "pipeflow30_resort_every": hc._auto_resort_every(),
         "pipeflow30_vertex_updates_per_s": round(n_verts30 * n / dt30, 1),
         "pipeflow30_s_per_iteration": round(dt30 / n, 6),
+        # fluid-node MLUPS alongside box MLUPS: on walled domains the box
+        # number flatters dense layouts (VERDICT r04 #3) — report both
+        "pipeflow30_fluid_mlups": round(
+            int((np.asarray(hc.flags) == 0).sum()) * n / dt30 / 1e6, 3
+        ),
         "platform": platform,
     })
 
@@ -241,10 +246,62 @@ def main():
             nodes_pipe = hc2.shape[0] * hc2.shape[1] * hc2.shape[2]
             result["pipeflow_mlups"] = round(nodes_pipe * n / dt_pipe / 1e6,
                                              3)
+            result["pipeflow_fluid_mlups"] = round(
+                int((np.asarray(hc2.flags) == 0).sum()) * n / dt_pipe / 1e6,
+                3,
+            )
             result["pipeflow_cells"] = hc2.alive_count(0) + hc2.alive_count(1)
             result["pipeflow_s_per_iteration"] = round(dt_pipe / n, 6)
         except Exception as e:  # never break the headline metric
             result["pipeflow_error"] = str(e)[:200]
+
+    # ---- AR2 vessel tree (sparse-geometry class: 15.5% fluid in a
+    # 411x253x128 box) — fluid-only step on one chip, box + fluid-node
+    # MLUPS and HBM footprint (VERDICT r04 #3; reference: sparse
+    # MultiBlock allocation, core/hemoCell.cpp:446-571)
+    ar2_stl = "/root/reference/cases/AR2/shortoutlet_AR2_rotated.stl"
+    if os.path.exists(ar2_stl):
+        try:
+            import dataclasses
+
+            from hemocell_tpu.dynamics import initial_sim_state
+            from hemocell_tpu.presets import default_params
+            from hemocell_tpu.utils.voxelize import (
+                pad_flags_tpu,
+                voxelize_stl,
+            )
+
+            flags_a, _ = voxelize_stl(ar2_stl, 408, ref_dir=0)
+            flags_a, _ = pad_flags_tpu(flags_a, x_mode="wall")
+            params = default_params()
+            from hemocell_tpu.dynamics import StepConfig as _SC
+
+            cfg_a = _SC(
+                shape=tuple(int(s) for s in flags_a.shape),
+                flags=jnp.asarray(flags_a), omega=1.0 / params.tau,
+                body_force=jnp.asarray([1e-6, 0.0, 0.0], jnp.float32),
+            )
+            runner_a = build_runner(cfg_a)
+            st_a = initial_sim_state(cfg_a, [])
+            st_a = runner_a(st_a, 1)
+            jax.block_until_ready(st_a)
+            dt_a, st_a, _ = time_run(runner_a, st_a, 100)
+            nodes_a = 1
+            for s in cfg_a.shape:
+                nodes_a *= int(s)
+            fluid_a = int((flags_a == 0).sum())
+            result["ar2_fluid_only_box_mlups"] = round(
+                nodes_a * 100 / dt_a / 1e6, 1
+            )
+            result["ar2_fluid_only_fluid_mlups"] = round(
+                fluid_a * 100 / dt_a / 1e6, 1
+            )
+            result["ar2_shape"] = list(cfg_a.shape)
+            result["ar2_fluid_fraction"] = round(fluid_a / nodes_a, 4)
+            result["ar2_s_per_iteration"] = round(dt_a / 100, 6)
+            result["ar2_f_hbm_gib"] = round(nodes_a * 19 * 4 / 2**30, 2)
+        except Exception as e:
+            result["ar2_error"] = str(e)[:200]
 
     _add_regression_note(result)
     print(json.dumps(result))

@@ -441,25 +441,45 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     has_boundaries=has_boundaries,
                 )
 
-            # spread total = constitutive(capped) + repulsion
-            # (core/hemoCellParticleField.cpp:841-863)
-            ftot_parts = [
-                (
-                    coupling.cap_force(cs.force.reshape(-1, 3), cfg.f_limit)
-                    + cs.force_repulsion.reshape(-1, 3)
-                )
-                for cs in cells
-            ]
-            ftot = jnp.concatenate(ftot_parts)
-            ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
+            shadow_path = (
+                use_pallas_ibm and shadow_mode and shadow is not None
+            )
+            if not shadow_path:
+                # spread total = constitutive(capped) + repulsion
+                # (core/hemoCellParticleField.cpp:841-863)
+                ftot_parts = [
+                    (
+                        coupling.cap_force(
+                            cs.force.reshape(-1, 3), cfg.f_limit
+                        )
+                        + cs.force_repulsion.reshape(-1, 3)
+                    )
+                    for cs in cells
+                ]
+                ftot = jnp.concatenate(ftot_parts)
+                ftot = jnp.pad(ftot, ((0, pad), (0, 0)))
 
-            if use_pallas_ibm and shadow_mode and shadow is not None:
+            if shadow_path:
                 # amortised-resort: the sorted layout persists in ``shadow``;
                 # this step only refreshes the sorted forces when the
                 # canonical forces changed, and fully resorts on ``resync``
-                fdep = ftot * act_pad[:, None]
                 P_pad_s = pos_w.shape[0]
                 alive_cur = jnp.concatenate([cs.alive for cs in cells])
+
+                def _fdep():
+                    # [P] deposit arithmetic INSIDE the refresh branches
+                    # only: as a cond closure value it would be a hoisted
+                    # operand recomputed every step (~20 MB of [P] traffic
+                    # wasted on carry steps — r05 machinery trim)
+                    ftot_l = jnp.concatenate([
+                        coupling.cap_force(
+                            cs.force.reshape(-1, 3), cfg.f_limit
+                        )
+                        + cs.force_repulsion.reshape(-1, 3)
+                        for cs in cells
+                    ])
+                    ftot_l = jnp.pad(ftot_l, ((0, pad), (0, 0)))
+                    return ftot_l * act_pad[:, None]
 
                 def _resync(_):
                     # global cell ids ride pos_cm row 3 for the wall-hit
@@ -468,7 +488,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         cell_gid, (0, pad), constant_values=-1
                     ).astype(cfg.dtype)
                     plan = build_ibm_plan(
-                        pos_w, shape, ibm_capacity, payload=fdep,
+                        pos_w, shape, ibm_capacity, payload=_fdep(),
                         subdiv=SHADOW_SUBDIV, aux=cid_pad,
                     )
                     vel0 = jnp.pad(
@@ -516,7 +536,9 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     F_cm, act_cm = jax.lax.cond(
                         pred,
                         lambda _: (
-                            _component_major(fdep[plan.order], ibm_capacity),
+                            _component_major(
+                                _fdep()[plan.order], ibm_capacity
+                            ),
                             jnp.zeros(
                                 P_pad_s + ibm_capacity, cfg.dtype
                             ).at[:P_pad_s].set(act_pad[plan.order]),

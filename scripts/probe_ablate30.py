@@ -58,8 +58,11 @@ def stub_spread(pos, forces, shape, capacity=2048, interpret=None,
 
 
 def stub_spread_shadow(plan, shape, capacity, interpret=None, mm="f32",
-                       mask=None):
-    return jnp.zeros((3,) + tuple(shape), plan.pos_cm.dtype)
+                       mask=None, hit_cells=None):
+    field = jnp.zeros((3,) + tuple(shape), plan.pos_cm.dtype)
+    if hit_cells is not None:
+        return field, jnp.zeros((int(hit_cells),), plan.pos_cm.dtype)
+    return field
 
 
 def stub_interp(pos, field, shape, capacity=2048, interpret=None,

@@ -44,6 +44,11 @@ def pytest_configure(config):
         "shard: multi-device shard_map/owner/GSPMD tests — heavy compiles; "
         "fast tier deselects them with -m 'not shard' (see tests/README.md)",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: sub-2-minute core subset (config/mesh/mechanics/fluid/IBM/"
+        "IO units) — run with -m smoke for quick CI iteration",
+    )
 
 
 def pytest_addoption(parser):
@@ -59,10 +64,17 @@ def pytest_collection_modifyitems(config, items):
     # auto-tier: the multi-device suites dominate wall time (heavy shard_map
     # compiles on the 8-device CPU mesh) — mark them so CI can run a fast
     # tier with -m 'not shard'
+    smoke_files = {
+        "test_config.py", "test_mesh.py", "test_mechanics.py",
+        "test_fluid.py", "test_ibm.py", "test_io.py",
+        "test_aux_fields.py", "test_restime_signals.py",
+    }
     for item in items:
         fn = item.fspath.basename
         if any(k in fn for k in ("shard", "owner", "gspmd", "preinlet")):
             item.add_marker(pytest.mark.shard)
+        if fn in smoke_files:
+            item.add_marker(pytest.mark.smoke)
     if config.getoption("--run-slow"):
         return
     skip_slow = pytest.mark.skip(reason="needs --run-slow")
