@@ -563,7 +563,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                         mm=cfg.ibm_mm, mask=fluid_mask3,
                         hit_cells=sum(cs.pos.shape[0] for cs in cells),
                     )
-                    field = field * fluid_mask3[None]
+                    # destination masking is fused in-kernel (r05)
                 else:
                     field = pallas_spread_shadow(
                         new_shadow.plan, shape, ibm_capacity,
@@ -581,8 +581,7 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     mask=fluid_mask3 if has_boundaries else None,
                     plan=ibm_plan, mm=cfg.ibm_mm,
                 )
-                if has_boundaries:
-                    field = field * fluid_mask3[None]
+                # destination masking is fused in the renorm kernel (r05)
                 force_field = _mat_force(force_field) + field
                 step_overflow = ibm_plan.overflow
             elif mode == "binned":

@@ -459,6 +459,11 @@ def _spread_renorm_kernel(C, CH, X, Y, Z, M, E, mm, starts_ref, pos_hbm,
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
+    # destination masking fused in-kernel: deposits landing ON solid nodes
+    # are zeroed here (the renorm divides by the FLUID weight total but the
+    # one-hots still deposit everywhere) — replaces a full-field
+    # ``field * fluid_mask`` pass outside the kernel (r05)
+    out_pair[0] = out_pair[0] * m_pair[None]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",
@@ -743,6 +748,8 @@ def _spread_renorm_hit_kernel(C, CH, X, Y, Z, NCp, M, E, mm, starts_ref,
         return carry
 
     jax.lax.fori_loop(0, nch, _chunk, 0)
+    # fused destination masking (see _spread_renorm_kernel)
+    out_pair[0] = out_pair[0] * m_pair[None]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "capacity", "interpret",

@@ -468,8 +468,8 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             field_l = field_ext[:, E: E + Xl]
             field_l = field_l.at[:, Xl - E:].add(from_next)
             field_l = field_l.at[:, :E].add(from_prev)
-            if has_boundaries:
-                field_l = field_l * fluid_mask_l[None]
+            # destination masking is fused in the renorm spread kernel,
+            # including halo-received deposits (r05)
             force_l = field_l
             if bf_uniform is not None:
                 force_l = force_l + bf_uniform[:, None, None, None]

@@ -412,8 +412,9 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             if ay:
                 halo_y = _to_next(field_l[:, :, Yl:], ay)
                 field_l = field_l[:, :, :Yl].at[:, :, 0].add(halo_y[:, :, 0])
-            if has_boundaries:
-                field_l = field_l * fluid_mask_l[None]
+            # destination masking is fused in the renorm spread kernel,
+            # including the halo-received deposits (masked by the sending
+            # shard against the same global nodes) — r05
             force_field = _mat_force(force_field) + field_l
 
         # ---- 2b: interior viscosity omega field (slab-local updates) -----
