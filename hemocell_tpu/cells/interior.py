@@ -73,19 +73,22 @@ def _cell_inside_local(pos, tri, box):
     return anchor, (count % 2) == 1
 
 
-@partial(jax.jit, static_argnames=("shape", "box", "x_extent"))
-def interior_mask(pos, tri, alive, shape, box, x_origin=0, x_extent=None):
+@partial(jax.jit, static_argnames=("shape", "box", "x_extent", "y_extent"))
+def interior_mask(pos, tri, alive, shape, box, x_origin=0, x_extent=None,
+                  y_origin=0, y_extent=None):
     """Union of cell interiors on the periodic lattice.
 
     pos: [NC, NV, 3]; tri [NT, 3]; alive [NC] bool.
     Returns bool [X, Y, Z].
 
-    ``x_origin``/``x_extent`` restrict the output to a local x-slab
-    [x_origin, x_origin + x_extent) of the global domain (shard_map mode:
-    each shard computes the update for its own rows; out-of-slab scatter
-    indices are dropped by JAX's jit scatter semantics)."""
+    ``x_origin``/``x_extent`` (and ``y_origin``/``y_extent`` on 2-D tile
+    decompositions) restrict the output to a local tile of the global
+    domain (shard_map mode: each shard computes the update for its own
+    rows; out-of-tile scatter indices are dropped by JAX's jit scatter
+    semantics)."""
     X, Y, Z = shape
     xe = X if x_extent is None else int(x_extent)
+    ye = Y if y_extent is None else int(y_extent)
     shp = jnp.asarray(shape, jnp.int32)
 
     def one(args):
@@ -95,19 +98,21 @@ def interior_mask(pos, tri, alive, shape, box, x_origin=0, x_extent=None):
 
     anchors, insides = jax.lax.map(one, (pos, alive))
 
-    # scatter local boxes into the (local-slab) mask (periodic wrap)
+    # scatter local boxes into the (local-tile) mask (periodic wrap)
     bx = jnp.arange(box)
     grid = jnp.stack(
         jnp.meshgrid(bx, bx, bx, indexing="ij"), axis=-1
     )  # [box,box,box,3]
-    mask = jnp.zeros((xe, Y, Z), dtype=jnp.int32)
+    mask = jnp.zeros((xe, ye, Z), dtype=jnp.int32)
     xo = jnp.asarray(x_origin, jnp.int32)
+    yo = jnp.asarray(y_origin, jnp.int32)
 
     def body(k, mask):
         nodes = jnp.mod(anchors[k][None, None, None, :] + grid, shp)
         xl = jnp.mod(nodes[..., 0] - xo, X)  # >= xe rows drop (OOB scatter)
+        yl = jnp.mod(nodes[..., 1] - yo, Y)
         return mask.at[
-            xl, nodes[..., 1], nodes[..., 2]
+            xl, yl, nodes[..., 2]
         ].max(insides[k].astype(jnp.int32))
 
     mask = jax.lax.fori_loop(0, pos.shape[0], body, mask)
@@ -120,7 +125,8 @@ def omega_field_from_mask(mask, omega_bulk, omega_interior):
 
 
 def membrane_omega_update(om, pos, tri, alive, omega_interior, omega_bg,
-                          edge_mean_eq, shape, x_origin=0, x_extent=None):
+                          edge_mean_eq, shape, x_origin=0, x_extent=None,
+                          y_origin=0, y_extent=None):
     """Cheap interior-viscosity refresh at the membrane — the reference's
     second (fast) timescale (``internalGridPointsMembrane``,
     core/hemoCellParticleField.cpp:746-773): each vertex classifies its
@@ -141,6 +147,7 @@ def membrane_omega_update(om, pos, tri, alive, omega_interior, omega_bg,
     NC, NV, _ = pos.shape
     X, Y, Z = (int(s) for s in shape)
     xe = X if x_extent is None else int(x_extent)
+    ye = Y if y_extent is None else int(y_extent)
     dtype = om.dtype
 
     def cell_normals(p):
@@ -170,9 +177,10 @@ def membrane_omega_update(om, pos, tri, alive, omega_interior, omega_bg,
 
     ni = jnp.mod(node, jnp.asarray([X, Y, Z], dtype)).astype(jnp.int32)
     xl = jnp.mod(ni[..., 0] - jnp.asarray(x_origin, jnp.int32), X)
-    lin = (xl * Y + ni[..., 1]) * Z + ni[..., 2]  # [P, 8]
-    dump = xe * Y * Z  # masked entries land on a pad cell
-    near = near & (xl < xe)
+    yl = jnp.mod(ni[..., 1] - jnp.asarray(y_origin, jnp.int32), Y)
+    lin = (xl * ye + yl) * Z + ni[..., 2]  # [P, 8]
+    dump = xe * ye * Z  # masked entries land on a pad cell
+    near = near & (xl < xe) & (yl < ye)
 
     # pack (squared distance, inside-bit) into one int32 key: scatter-min
     # picks the nearest claiming vertex, its LSB carries the verdict
@@ -184,14 +192,14 @@ def membrane_omega_update(om, pos, tri, alive, omega_interior, omega_bg,
     big = jnp.iinfo(jnp.int32).max
     keys = jnp.where(near, key, big).reshape(-1)
     idx = jnp.where(near, lin, dump).reshape(-1)
-    acc = jnp.full(xe * Y * Z + 1, big, jnp.int32).at[idx].min(keys)[:-1]
+    acc = jnp.full(xe * ye * Z + 1, big, jnp.int32).at[idx].min(keys)[:-1]
     touched = acc < big
     om_new = jnp.where(
         (acc % 2) == 1,
         jnp.asarray(omega_interior, dtype),
         jnp.asarray(omega_bg, dtype),
     )
-    return jnp.where(touched, om_new, om.reshape(-1)).reshape(xe, Y, Z)
+    return jnp.where(touched, om_new, om.reshape(-1)).reshape(xe, ye, Z)
 
 
 def interior_tau(viscosity_ratio: float, tau: float) -> float:

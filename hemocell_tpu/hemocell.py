@@ -512,14 +512,17 @@ class HemoCell:
                 )
 
                 owner_reason = owner_unsupported_reason(cfg, n_cells)
-                if len(names) != 1:
-                    owner_reason = owner_reason or "2-D device mesh"
+                if len(names) > 2:
+                    owner_reason = owner_reason or ">2-D device mesh"
                 elif not divisible:
                     owner_reason = owner_reason or (
                         f"X={self.shape[0]} not divisible by the mesh"
                     )
                 else:
                     nxm = int(mesh.shape[names[0]])
+                    nym = (
+                        int(mesh.shape[names[1]]) if len(names) > 1 else 1
+                    )
                     env = suggest_envelope(
                         self.cell_states, resort_every=cfg.resort_every
                     )
@@ -532,6 +535,13 @@ class HemoCell:
                             f"slab width {xl} < required {need} "
                             f"(envelope {env})"
                         )
+                    elif nym > 1:
+                        yl = self.shape[1] // nym
+                        if yl < need or self.shape[1] - yl < 2 * env:
+                            owner_reason = owner_reason or (
+                                f"y tile width {yl} < required {need} "
+                                f"(envelope {env})"
+                            )
                 if owner_reason is None:
                     self._runner = build_owner_runner(
                         cfg, mesh, envelope=env

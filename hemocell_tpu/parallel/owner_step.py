@@ -34,13 +34,19 @@ corruption guard watches (hemocell.py _check_overflow).
 
 Supported subset (v2 — the PRODUCTION distributed path, auto-picked by
 ``HemoCell.distribute`` whenever it covers the configuration): 1-D ("x")
-mesh with nx ≥ 2 shards, Xl ≥ E, walls + body force + timescales +
-boundary deletion + restime + inter-cell and boundary repulsion (per-shard
-neighbour search over own + ±1-neighbour cell tables), interior viscosity
-(slab-local omega updates from own + neighbour tables), CEPAC (second
-sharded lattice, 1-row halos) and velocity/pressure BC overrides.  Still
-excluded (ride the replicated shard_map / GSPMD runners): Lees-Edwards,
-solidify, Adams-Bashforth, 2-D meshes.
+and 2-D ("x","y") meshes (tile width ≥ E per sharded axis), walls + body
+force + timescales + boundary deletion + restime + inter-cell and
+boundary repulsion (per-shard neighbour search over own + neighbour cell
+tables — on 2-D meshes the ±y exchange ships the x-UNION, so the two-hop
+covers the full 3×3 tile neighbourhood incl. corners), interior viscosity
+(tile-local omega updates from own + neighbour tables), CEPAC (second
+sharded lattice, 1-row two-hop halos) and velocity/pressure BC overrides.
+On 2-D meshes migration runs one phase per axis (diagonal migrants reach
+the corner in two hops) and the spread halo-add ships the x ghost blocks
+over the full extended y width first, then the y strips of the x-merged
+field — corner deposits ride both hops.  Still excluded (ride the
+replicated shard_map / GSPMD runners): Lees-Edwards, solidify,
+Adams-Bashforth.
 """
 
 from __future__ import annotations
@@ -158,14 +164,30 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     """
     shape = tuple(int(s) for s in cfg.shape)
     X, Y, Z = shape
+    axes = tuple(mesh.axis_names)
+    ay = (
+        axes[1]
+        if len(axes) > 1 and int(mesh.shape[axes[1]]) > 1
+        else None
+    )
     nx = int(mesh.shape[axis])
-    assert nx >= 2, "owner sharding needs >= 2 shards (use build_runner)"
+    ny = int(mesh.shape[ay]) if ay else 1
+    assert nx >= 2, "owner sharding needs >= 2 x-shards (use build_runner)"
     assert X % nx == 0
     Xl = X // nx
     E = int(envelope)
     assert Xl >= E, f"slab width {Xl} < particle envelope {E}"
     assert X - Xl >= 2 * E, "domain too small for the envelope"
     Xg = Xl + 2 * E  # extended IBM grid rows (+1 parking slab in the plan)
+    if ay:
+        assert ny >= 2 and Y % ny == 0
+        Yl = Y // ny
+        assert Yl >= E, f"tile width {Yl} < particle envelope {E}"
+        assert Y - Yl >= 2 * E, "domain too small for the y envelope"
+        Yg = Yl + 2 * E
+    else:
+        Yl, Yg = Y, Y
+    psum_axes = (axis, ay) if ay else axis
     dtype = cfg.dtype
     fshape = jnp.asarray(shape, dtype=dtype)
     has_boundaries = bool(np.asarray(cfg.flags).any())
@@ -192,22 +214,32 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     )
 
     # ---------------- per-shard local step -------------------------------
-    def _ext_rows(arr, d, n=E):
-        """Extend a local [.., Xl, Y, Z] field with n rows from each
-        periodic neighbour along the sharded axis (dim d)."""
+    def _ext_rows(arr, d, n=E, ax=None):
+        """Extend a local field with n rows from each periodic neighbour
+        along mesh axis ``ax`` (array dim d)."""
+        ax = ax or axis
         L = arr.shape[d]
         lo = jax.lax.ppermute(
-            jax.lax.slice_in_dim(arr, L - n, L, axis=d), axis,
-            perm=_fwd(axis),
+            jax.lax.slice_in_dim(arr, L - n, L, axis=d), ax,
+            perm=_fwd(ax),
         )
         hi = jax.lax.ppermute(
-            jax.lax.slice_in_dim(arr, 0, n, axis=d), axis, perm=_bwd(axis),
+            jax.lax.slice_in_dim(arr, 0, n, axis=d), ax, perm=_bwd(ax),
         )
         return jnp.concatenate([lo, arr, hi], axis=d)
+
+    def _ext_xy(arr, d, n=E):
+        """E-extend along the sharded axes: y first (2-D meshes), then x
+        on the y-EXTENDED field — the x-neighbours' y extensions are
+        exactly the diagonal (corner) neighbours' data (two-hop)."""
+        if ay:
+            arr = _ext_rows(arr, d + 1, n=n, ax=ay)
+        return _ext_rows(arr, d, n=n, ax=axis)
 
     def local_loop(f0, it0, ov0, owned, cep0, om0, flags_l, bc_l,
                    cep_mask_l, cep_val_l, type_counts, n_iter, resort_k):
         rank = jax.lax.axis_index(axis)
+        rank_y = jax.lax.axis_index(ay) if ay else None
         type_offsets = np.cumsum([0] + list(type_counts))[:-1].tolist()
         # global-suspension vertex count: the Pallas repulsion windows see
         # full-suspension row density regardless of the local table sizes
@@ -218,13 +250,14 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             slab_capacity(P_total, X) if P_total else None
         )
         x0 = (rank * Xl).astype(dtype)
-        flags_ext = _ext_rows(flags_l, 0)  # [Xg, Y, Z] static per call
+        y0 = (rank_y * Yl).astype(dtype) if ay else None
+        flags_ext = _ext_xy(flags_l, 0)  # [Xg, Yg, Z] static per call
         fluid_mask_ext = (flags_ext == FLAG_FLUID).astype(dtype)
         fluid_mask_l = (flags_l == FLAG_FLUID).astype(dtype)
         # IBM grid adds one parking row for empty slots / foreign vertices
-        grid = (Xg + 1, Y, Z)
+        grid = (Xg + 1, Yg, Z)
         mask_g = jnp.concatenate(
-            [fluid_mask_ext, jnp.ones((1, Y, Z), dtype)], axis=0
+            [fluid_mask_ext, jnp.ones((1, Yg, Z), dtype)], axis=0
         )
 
         Pl = sum(o.pos.shape[0] * o.pos.shape[1] for o in owned)
@@ -250,35 +283,56 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             # vertices (E ghost rows each side); mod X keeps the wrap exact
             return jnp.mod(px - x0 + E, fshape[0])
 
+        def to_grid_y(py):
+            if ay is None:
+                return jnp.mod(py, fshape[1])
+            return jnp.mod(py - y0 + E, fshape[1])
+
         def _nbr_tables(owned):
-            """±1-neighbour cell tables (idx, pos, alive) per type — the
-            TPU analog of the reference's envelope particle structs
-            (core/hemoCellParticleDataTransfer.cpp:74-177).  With nx == 2
-            left and right neighbour are the SAME shard: ship one copy so
-            repulsion pairs are not double-counted."""
-            tabs = []
+            """Neighbour cell tables (idx, pos, alive) per type — the TPU
+            analog of the reference's envelope particle structs
+            (core/hemoCellParticleDataTransfer.cpp:74-177).  Returns, per
+            type, a LIST of foreign (idx, pos, alive) tuples: the ±x
+            neighbours, plus (2-D meshes) the ±y exchanges of the x-UNION
+            — the two-hop ships the diagonal (corner) neighbours' cells
+            too, covering the full 3x3 tile neighbourhood.  With n == 2
+            along an axis both directions are the SAME shard: ship one
+            copy so repulsion pairs are not double-counted."""
+            out = []
             for o in owned:
                 send = (o.idx, o.pos, o.alive)
-                tl = tuple(
-                    jax.lax.ppermute(a, axis, perm=_fwd(axis)) for a in send
-                )
-                tr = (
-                    None if nx == 2 else tuple(
+                f = [tuple(
+                    jax.lax.ppermute(a, axis, perm=_fwd(axis))
+                    for a in send
+                )]
+                if nx > 2:
+                    f.append(tuple(
                         jax.lax.ppermute(a, axis, perm=_bwd(axis))
                         for a in send
+                    ))
+                if ay is not None:
+                    ux = tuple(
+                        jnp.concatenate([s] + [t[i] for t in f])
+                        for i, s in enumerate(send)
                     )
-                )
-                tabs.append((tl, tr))
-            return tabs
+                    f.append(tuple(
+                        jax.lax.ppermute(a, ay, perm=_fwd(ay)) for a in ux
+                    ))
+                    if ny > 2:
+                        f.append(tuple(
+                            jax.lax.ppermute(a, ay, perm=_bwd(ay))
+                            for a in ux
+                        ))
+                out.append(f)
+            return out
 
-        def _tab_concat(o, tl, tr):
-            """Own + neighbour cells of one type: pos [3C?, nv, 3] +
+        def _tab_concat(o, foreign):
+            """Own + neighbour cells of one type: pos [kC, nv, 3] +
             validity mask."""
-            parts_p = [o.pos, tl[1]]
-            parts_a = [o.alive & (o.idx >= 0), tl[2] & (tl[0] >= 0)]
-            if tr is not None:
-                parts_p.append(tr[1])
-                parts_a.append(tr[2] & (tr[0] >= 0))
+            parts_p = [o.pos] + [t[1] for t in foreign]
+            parts_a = [o.alive & (o.idx >= 0)] + [
+                t[2] & (t[0] >= 0) for t in foreign
+            ]
             return jnp.concatenate(parts_p), jnp.concatenate(parts_a)
 
         def step(carry):
@@ -308,11 +362,11 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         act_parts.append(jnp.repeat(
                             (o.alive & (o.idx >= 0)).astype(dtype), nv
                         ))
-                    for off_t, o, (tl, tr) in zip(
+                    for off_t, o, foreign in zip(
                         type_offsets, owned, tabs
                     ):
                         nv = o.pos.shape[1]
-                        for t in ((tl,) if tr is None else (tl, tr)):
+                        for t in foreign:
                             pos_parts.append(t[1].reshape(-1, 3))
                             gid_parts.append(jnp.repeat(
                                 jnp.where(t[0] >= 0, off_t + t[0], -7), nv
@@ -350,7 +404,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         it, cfg.repulsion_every, _rep_all, None,
                         (carried, ov_rep),
                     )
-                    ov = ov + jax.lax.psum(ov_rep, axis)
+                    ov = ov + jax.lax.psum(ov_rep, psum_axes)
                 if has_brep:
                     if has_rep:
                         frep = frep + _every(
@@ -386,17 +440,22 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
 
                 x0i = (rank * Xl).astype(jnp.int32)
+                y0i = (
+                    (rank_y * Yl).astype(jnp.int32) if ay
+                    else jnp.asarray(0, jnp.int32)
+                )
 
                 def _om_recompute(_):
-                    om_l = jnp.full((Xl, Y, Z), cfg.omega, dtype=dtype)
+                    om_l = jnp.full((Xl, Yl, Z), cfg.omega, dtype=dtype)
                     tabs = _nbr_tables(owned)
-                    for tc, o, (tl, tr) in zip(cfg.types, owned, tabs):
+                    for tc, o, foreign in zip(cfg.types, owned, tabs):
                         if tc.omega_interior is None:
                             continue
-                        pos3, alive3 = _tab_concat(o, tl, tr)
+                        pos3, alive3 = _tab_concat(o, foreign)
                         m = interior_mask(
                             pos3, tc.topo["tri"], alive3, shape,
                             tc.interior_box, x_origin=x0i, x_extent=Xl,
+                            y_origin=y0i, y_extent=Yl,
                         )
                         om_l = jnp.where(m, tc.omega_interior, om_l)
                     return om_l
@@ -408,15 +467,16 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
                     def _om_membrane(om_l):
                         tabs = _nbr_tables(owned)
-                        for tc, o, (tl, tr) in zip(cfg.types, owned, tabs):
+                        for tc, o, foreign in zip(cfg.types, owned, tabs):
                             if tc.omega_interior is None:
                                 continue
-                            pos3, alive3 = _tab_concat(o, tl, tr)
+                            pos3, alive3 = _tab_concat(o, foreign)
                             om_l = membrane_omega_update(
                                 om_l, pos3, tc.topo["tri"], alive3,
                                 tc.omega_interior, cfg.omega,
                                 tc.topo["edge_mean_eq"], shape,
                                 x_origin=x0i, x_extent=Xl,
+                                y_origin=y0i, y_extent=Yl,
                             )
                         return om_l
 
@@ -432,17 +492,22 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 for o in owned
             ])
             xg = to_grid_x(pos_f[:, 0])
+            yg = to_grid_y(pos_f[:, 1])
             in_grid = (xg < Xg) & (valid_v > 0)
+            if ay:
+                in_grid = in_grid & (yg < Yg)
             ov = ov + jax.lax.psum(
-                jnp.sum((~in_grid) & (valid_v > 0)).astype(jnp.int32), axis
+                jnp.sum((~in_grid) & (valid_v > 0)).astype(jnp.int32),
+                psum_axes,
             )
             pos_g = jnp.stack(
                 [jnp.where(in_grid, xg, Xg + 0.5),
-                 jnp.mod(pos_f[:, 1], fshape[1]),
+                 jnp.where(in_grid, yg, 0.5) if ay else yg,
                  jnp.mod(pos_f[:, 2], fshape[2])], axis=1,
             )
             pos_g = jnp.pad(pos_g, ((0, padv), (0, 0)),
                             constant_values=Xg + 0.5)
+            pos_g = pos_g.at[Pl:, 1:].set(0.5)
             ftot = flat(owned, "force")
             ftot = coupling.cap_force(ftot, cfg.f_limit) + flat(owned, "frep")
             fdep = ftot * (act * in_grid.astype(dtype))[:, None]
@@ -450,61 +515,96 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             plan = build_ibm_plan(
                 pos_g, grid, cap_l, payload=fdep, overflow_slabs=Xg,
             )
-            ov = ov + jax.lax.psum(plan.overflow.astype(jnp.int32), axis)
+            ov = ov + jax.lax.psum(
+                plan.overflow.astype(jnp.int32), psum_axes
+            )
             field_ext, _ = pallas_spread(
                 pos_g, fdep, grid, capacity=cap_l, interpret=interpret,
                 mask=mask_g if has_boundaries else None, plan=plan,
             )
             # ---- envelope halo-add: my ghost deposits land on the
             # neighbours' interiors (reference: syncEnvelopes,
-            # core/hemoCellFields.cpp:377-499 → two ppermutes).
-            # lo_dep covers global [x0-E, x0) = the PREVIOUS shard's tail,
-            # so it ships backward (perm _bwd: I receive the NEXT shard's
-            # lo ghost, which is exactly my tail rows); hi_dep conversely.
-            lo_dep = field_ext[:, :E]            # -> prev rows [Xl-E, Xl)
-            hi_dep = field_ext[:, E + Xl: Xg]    # -> next rows [0, E)
+            # core/hemoCellFields.cpp:377-499).  Phase X ships the x ghost
+            # BLOCKS over the FULL Yg width and adds into the receiver's
+            # extended field (so corner deposits ride into its y ghosts);
+            # phase Y then ships the y ghost strips of the x-merged field
+            # — the corner lands on the diagonal neighbour in two hops.
+            # lo covers global [x0-E, x0) = the PREVIOUS shard's tail, so
+            # it ships backward (perm _bwd: I receive the NEXT shard's lo
+            # ghost, which is exactly my tail rows); hi conversely.
+            lo_dep = field_ext[:, :E]
+            hi_dep = field_ext[:, E + Xl: Xg]
             from_next = jax.lax.ppermute(lo_dep, axis, perm=_bwd(axis))
             from_prev = jax.lax.ppermute(hi_dep, axis, perm=_fwd(axis))
-            field_l = field_ext[:, E: E + Xl]
-            field_l = field_l.at[:, Xl - E:].add(from_next)
-            field_l = field_l.at[:, :E].add(from_prev)
+            if ay:
+                mid = field_ext[:, E: E + Xl]
+                mid = mid.at[:, Xl - E:].add(from_next)
+                mid = mid.at[:, :E].add(from_prev)
+                lo_y = mid[:, :, :E]
+                hi_y = mid[:, :, E + Yl: Yg]
+                from_next_y = jax.lax.ppermute(lo_y, ay, perm=_bwd(ay))
+                from_prev_y = jax.lax.ppermute(hi_y, ay, perm=_fwd(ay))
+                field_l = mid[:, :, E: E + Yl]
+                field_l = field_l.at[:, :, Yl - E:].add(from_next_y)
+                field_l = field_l.at[:, :, :E].add(from_prev_y)
+            else:
+                field_l = field_ext[:, E: E + Xl]
+                field_l = field_l.at[:, Xl - E:].add(from_next)
+                field_l = field_l.at[:, :E].add(from_prev)
             # destination masking is fused in the renorm spread kernel,
             # including halo-received deposits (r05)
             force_l = field_l
             if bf_uniform is not None:
                 force_l = force_l + bf_uniform[:, None, None, None]
 
-            # ---- fluid with 1-row halo operands (as sharded_step) ------
-            fl = jax.lax.ppermute(_last_slice(f, 1), axis, perm=_fwd(axis))
-            fr = jax.lax.ppermute(_first_slice(f, 1), axis, perm=_bwd(axis))
+            # ---- fluid with 1-row halo operands (as sharded_step); on a
+            # 2-D mesh every operand is first extended with 1-row y ghosts
+            # and the x halo rows are taken from the y-EXTENDED blocks, so
+            # the received rows already carry the corner neighbours ------
+            def _fl_op(arr, d):
+                return (
+                    _ext_rows(arr, d + 1, n=1, ax=ay) if ay else arr
+                )
+
+            f_op = _fl_op(f, 1)
+            force_op = _fl_op(force_l, 1)
+            flags_op = _fl_op(flags_l, 0) if has_boundaries else flags_l
+            fl = jax.lax.ppermute(_last_slice(f_op, 1), axis,
+                                  perm=_fwd(axis))
+            fr = jax.lax.ppermute(_first_slice(f_op, 1), axis,
+                                  perm=_bwd(axis))
             fo_halo = (
-                jax.lax.ppermute(_last_slice(force_l, 1), axis,
+                jax.lax.ppermute(_last_slice(force_op, 1), axis,
                                  perm=_fwd(axis)),
-                jax.lax.ppermute(_first_slice(force_l, 1), axis,
+                jax.lax.ppermute(_first_slice(force_op, 1), axis,
                                  perm=_bwd(axis)),
             )
             flg_halo = (
-                jax.lax.ppermute(flags_l[None, -1:], axis,
+                jax.lax.ppermute(flags_op[None, -1:], axis,
                                  perm=_fwd(axis))[0],
-                jax.lax.ppermute(flags_l[None, :1], axis,
+                jax.lax.ppermute(flags_op[None, :1], axis,
                                  perm=_bwd(axis))[0],
             )
             om = jnp.asarray(cfg.omega, dtype)
+            om_op = om
             om_halo = None
             if om_f is not None:
-                om = om_f  # [Xl, Y, Z] per-node relaxation
+                om = om_f  # [Xl, Yl, Z] per-node relaxation
+                om_op = _fl_op(om, 0)
                 om_halo = (
-                    jax.lax.ppermute(om[None, -1:], axis,
+                    jax.lax.ppermute(om_op[None, -1:], axis,
                                      perm=_fwd(axis))[0],
-                    jax.lax.ppermute(om[None, :1], axis,
+                    jax.lax.ppermute(om_op[None, :1], axis,
                                      perm=_bwd(axis))[0],
                 )
+            bc_op = None
             bc_halo = None
             if bc_l is not None:
+                bc_op = _fl_op(bc_l, 1)
                 bc_halo = (
-                    jax.lax.ppermute(_last_slice(bc_l, 1), axis,
+                    jax.lax.ppermute(_last_slice(bc_op, 1), axis,
                                      perm=_fwd(axis)),
-                    jax.lax.ppermute(_first_slice(bc_l, 1), axis,
+                    jax.lax.ppermute(_first_slice(bc_op, 1), axis,
                                      perm=_bwd(axis)),
                 )
             if use_pallas:
@@ -516,36 +616,41 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 if bc_halo is not None:
                     halos["bc"] = bc_halo
                 f_new = stream_collide_pallas(
-                    f, force_l, om,
-                    flags_l if has_boundaries else None,
-                    bc_l, bc_density=cfg.bc_density, halos=halos,
+                    f_op, force_op, om_op if om_f is not None else om,
+                    flags_op if has_boundaries else None,
+                    bc_op, bc_density=cfg.bc_density, halos=halos,
                 )
+                if ay:
+                    f_new = f_new[:, :, 1:-1]
             else:
-                f_ext = jnp.concatenate([fl, f, fr], axis=1)
+                f_ext = jnp.concatenate([fl, f_op, fr], axis=1)
                 force_j = jnp.concatenate(
-                    [fo_halo[0], force_l, fo_halo[1]], axis=1
+                    [fo_halo[0], force_op, fo_halo[1]], axis=1
                 )
+                Ye2 = Yl + 2 if ay else Y
                 flags_j = (
                     jnp.concatenate(
-                        [flg_halo[0], flags_l, flg_halo[1]], axis=0
+                        [flg_halo[0], flags_op, flg_halo[1]], axis=0
                     )
                     if has_boundaries
-                    else jnp.zeros((Xl + 2, Y, Z), jnp.uint8)
+                    else jnp.zeros((Xl + 2, Ye2, Z), jnp.uint8)
                 )
-                om_j = om
+                om_j = om_op if om_f is not None else om
                 if om_halo is not None:
                     om_j = jnp.concatenate(
-                        [om_halo[0], om, om_halo[1]], axis=0
+                        [om_halo[0], om_j, om_halo[1]], axis=0
                     )
                 bc_ext = None
                 if bc_halo is not None:
                     bc_ext = jnp.concatenate(
-                        [bc_halo[0], bc_l, bc_halo[1]], axis=1
+                        [bc_halo[0], bc_op, bc_halo[1]], axis=1
                     )
                 f_new = lbm.stream_collide(
                     f_ext, force_j, om_j, flags_j, bc_ext,
                     bc_density=cfg.bc_density,
                 )[:, 1:-1]
+                if ay:
+                    f_new = f_new[:, :, 1:-1]
 
             # ---- CEPAC advection-diffusion (one-way velocity coupling;
             # second sharded lattice, 1-row halos — reference:
@@ -553,24 +658,30 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             if cfg.cepac_tau is not None and cep is not None:
                 from ..fluid.advection_diffusion import ad_stream_collide
 
-                f_ext2 = _ext_rows(f_new, 1, n=1)
-                force_ext2 = _ext_rows(force_l, 1, n=1)
+                def _cep_ext(arr, d):
+                    return _ext_xy(arr, d, n=1)
+
+                f_ext2 = _cep_ext(f_new, 1)
+                force_ext2 = _cep_ext(force_l, 1)
                 _, u_ext2 = lbm.macroscopic(f_ext2, force_ext2)
-                g_ext = _ext_rows(cep, 1, n=1)
+                g_ext = _cep_ext(cep, 1)
                 m_ext = v_ext = None
                 if cep_mask_l is not None:
-                    m_ext = _ext_rows(cep_mask_l[None], 1, n=1)[0]
-                    v_ext = _ext_rows(cep_val_l[None], 1, n=1)[0]
+                    m_ext = _cep_ext(cep_mask_l[None], 1)[0]
+                    v_ext = _cep_ext(cep_val_l[None], 1)[0]
                 cep = ad_stream_collide(
                     g_ext, u_ext2, cfg.cepac_tau, m_ext, v_ext
                 )[:, 1:-1]
+                if ay:
+                    cep = cep[:, :, 1:-1]
 
-            # ---- interpolate on owner (E-extended velocity block) ------
+            # ---- interpolate on owner (E-extended velocity block; 2-D:
+            # y-then-x two-hop extension carries the corners) ------------
             def _interp(_):
                 _, u_l = lbm.macroscopic(f_new, force_l)
                 if has_boundaries:
                     u_l = u_l * fluid_mask_l[None]
-                u_ext = _ext_rows(u_l, 1)
+                u_ext = _ext_xy(u_l, 1)
                 if has_boundaries:
                     fields = jnp.concatenate(
                         [u_ext, fluid_mask_ext[None]], axis=0
@@ -578,7 +689,8 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 else:
                     fields = u_ext
                 fields = jnp.concatenate(
-                    [fields, jnp.zeros(fields.shape[:1] + (1, Y, Z), dtype)],
+                    [fields,
+                     jnp.zeros(fields.shape[:1] + (1, Yg, Z), dtype)],
                     axis=1,
                 )
                 v, _ = pallas_interp(
@@ -608,10 +720,15 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     node_x = jnp.clip(
                         jnp.floor(pg + 0.5), 0, Xg - 1
                     ).astype(jnp.int32)
-                    node_y = jnp.mod(
-                        jnp.floor(new_pos[..., 1].reshape(-1) + 0.5),
-                        fshape[1],
-                    ).astype(jnp.int32)
+                    pgy = to_grid_y(new_pos[..., 1].reshape(-1))
+                    if ay:
+                        node_y = jnp.clip(
+                            jnp.floor(pgy + 0.5), 0, Yg - 1
+                        ).astype(jnp.int32)
+                    else:
+                        node_y = jnp.mod(
+                            jnp.floor(pgy + 0.5), fshape[1]
+                        ).astype(jnp.int32)
                     node_z = jnp.mod(
                         jnp.floor(new_pos[..., 2].reshape(-1) + 0.5),
                         fshape[2],
@@ -655,21 +772,24 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 ))
             return f_new, it + 1, ov, tuple(new_owned), cep, om_f
 
-        def migrate(owned_ov):
-            """Re-home cells whose CM crossed a slab boundary (±1 shard)."""
+        def _migrate_axis(owned_ov, ax, n_ax, L_ax, coord):
+            """Re-home cells whose CM crossed a tile boundary along one
+            mesh axis (±1 shard).  On 2-D meshes this runs once per axis
+            per migrate event — a diagonal migrant reaches its corner
+            neighbour through the x hop then the y hop."""
             owned, ov = owned_ov
             out = []
             for o in owned:
                 cc = o.pos.shape[0]
                 mcap = max(1, int(np.ceil(cc / 4)))
                 valid = o.idx >= 0
-                cm = jnp.mean(o.pos[..., 0], axis=1)
+                cm = jnp.mean(o.pos[..., coord], axis=1)
                 dest = jnp.floor(
-                    jnp.mod(cm, fshape[0]) / Xl
+                    jnp.mod(cm, fshape[coord]) / L_ax
                 ).astype(jnp.int32)
-                me = rank.astype(jnp.int32)
-                right = jnp.mod(me + 1, nx)
-                left = jnp.mod(me - 1, nx)
+                me = jax.lax.axis_index(ax).astype(jnp.int32)
+                right = jnp.mod(me + 1, n_ax)
+                left = jnp.mod(me - 1, n_ax)
                 cat = jnp.where(
                     ~valid, 3,
                     jnp.where(dest == me, 0,
@@ -677,7 +797,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                                         jnp.where(dest == left, 2, 4))),
                 )
                 ov = ov + jax.lax.psum(
-                    jnp.sum(cat == 4).astype(jnp.int32), axis
+                    jnp.sum(cat == 4).astype(jnp.int32), psum_axes
                 )
                 order = jnp.argsort(cat)
                 cat_s = cat[order]
@@ -687,7 +807,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 ov = ov + jax.lax.psum(
                     (jnp.maximum(n_right - mcap, 0)
                      + jnp.maximum(n_left - mcap, 0)).astype(jnp.int32),
-                    axis,
+                    psum_axes,
                 )
                 arrs = [o.idx, o.pos, o.vel, o.force, o.frep,
                         o.alive]
@@ -714,9 +834,9 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 right_buf = buf_at(n_keep, jnp.minimum(n_right, mcap))
                 left_buf = buf_at(n_keep + n_right, jnp.minimum(n_left,
                                                                 mcap))
-                recv_r = [jax.lax.ppermute(a, axis, perm=_fwd(axis))
+                recv_r = [jax.lax.ppermute(a, ax, perm=_fwd(ax))
                           for a in right_buf]
-                recv_l = [jax.lax.ppermute(a, axis, perm=_bwd(axis))
+                recv_l = [jax.lax.ppermute(a, ax, perm=_bwd(ax))
                           for a in left_buf]
                 # keep rows: invalidate everything past n_keep
                 keep = list(sorted_a)
@@ -728,7 +848,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 ]
                 n_tot = jnp.sum(merged[0] >= 0)
                 ov = ov + jax.lax.psum(
-                    jnp.maximum(n_tot - cc, 0).astype(jnp.int32), axis
+                    jnp.maximum(n_tot - cc, 0).astype(jnp.int32), psum_axes
                 )
                 pack = jnp.argsort(jnp.where(merged[0] >= 0, 0, 1))[:cc]
                 packed = _take_rows(merged, pack)
@@ -738,6 +858,14 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     restime=packed[6] if has_rt else None,
                 ))
             return tuple(out), ov
+
+        def migrate(owned_ov):
+            """Re-home cells whose CM crossed a tile boundary: x phase
+            then (2-D meshes) y phase — two hops reach the corners."""
+            owned_ov = _migrate_axis(owned_ov, axis, nx, Xl, 0)
+            if ay:
+                owned_ov = _migrate_axis(owned_ov, ay, ny, Yl, 1)
+            return owned_ov
 
         def body(i, carry):
             f, it, ov, owned, cep, om_f = carry
@@ -757,6 +885,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
     # ---------------- entry / exit ---------------------------------------
     def entry(cells):
         rank = jax.lax.axis_index(axis)
+        rank_y = jax.lax.axis_index(ay) if ay else None
         owned = []
         ov = jnp.zeros((), jnp.int32)
         for cs in cells:
@@ -764,16 +893,25 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             # +4 absolute slack: tiny suspensions can cluster entirely in
             # one slab (capacity violations still count into the overflow
             # guard, they just shouldn't trigger on toy cases)
-            cap = max(1, min(nc, int(np.ceil(nc * margin / nx)) + 4))
+            cap = max(
+                1, min(nc, int(np.ceil(nc * margin / (nx * ny))) + 4)
+            )
             cm = jnp.mean(cs.pos[..., 0], axis=1)
             owner = jnp.floor(
                 jnp.mod(cm, fshape[0]) / Xl
             ).astype(jnp.int32) == rank
+            if ay:
+                cmy = jnp.mean(cs.pos[..., 1], axis=1)
+                owner = owner & (
+                    jnp.floor(
+                        jnp.mod(cmy, fshape[1]) / Yl
+                    ).astype(jnp.int32) == rank_y
+                )
             key = jnp.where(owner, 0, 1)
             order = jnp.argsort(key)
             n_own = jnp.sum(owner)
             ov = ov + jax.lax.psum(
-                jnp.maximum(n_own - cap, 0).astype(jnp.int32), axis
+                jnp.maximum(n_own - cap, 0).astype(jnp.int32), psum_axes
             )
             sel = order[:cap]
             live = jnp.arange(cap) < n_own
@@ -802,7 +940,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 z = z.at[tgt].add(
                     jnp.where(m, rows, jnp.zeros_like(rows))
                 )
-                return jax.lax.psum(z, axis)
+                return jax.lax.psum(z, psum_axes)
 
             pos = scat(cs.pos, o.pos)
             vel = scat(cs.vel, o.vel)
@@ -811,14 +949,14 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             alive = jax.lax.psum(
                 jnp.zeros(nc, jnp.int32).at[tgt].add(
                     (o.alive & ok).astype(jnp.int32)
-                ), axis,
+                ), psum_axes,
             ) > 0
             rt = cs.restime
             if cs.restime is not None and o.restime is not None:
                 rt = jax.lax.psum(
                     jnp.zeros(nc, jnp.int32).at[tgt].add(
                         jnp.where(ok, o.restime, 0)
-                    ), axis,
+                    ), psum_axes,
                 )
             out.append(cs._replace(
                 pos=pos, vel=vel, force=force, force_repulsion=frep,
@@ -850,8 +988,8 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             ),
         )
 
-    f_spec = P(None, axis, None, None)
-    g_spec = P(axis, None, None)
+    f_spec = P(None, axis, ay, None)
+    g_spec = P(axis, ay, None)
     flags_sh = jax.device_put(
         jnp.asarray(cfg.flags), NamedSharding(mesh, g_spec)
     )
@@ -874,7 +1012,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
     opts = None
     if jax.default_backend() == "tpu":
-        lcfg = dataclasses.replace(cfg, shape=(Xg + 1, Y, Z))
+        lcfg = dataclasses.replace(cfg, shape=(Xg + 1, Yg, Z))
         opts = {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_limit_kib(lcfg)}
 
     def run(state: SimState, n_iter: int) -> SimState:

@@ -322,3 +322,75 @@ def test_pipeflow30_owner_sharded_matches():
     for a, b in zip(hc2.state.cells, ref.cells):
         assert float(jnp.max(jnp.abs(a.pos - b.pos))) < 1e-5
         assert np.array_equal(np.asarray(a.alive), np.asarray(b.alive))
+
+
+def _compare_2d(cfg, state, n=4):
+    """Owner runner on a 2-D ("x","y") mesh vs the single-device step."""
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, n
+    )
+    env = suggest_envelope(state.cells, resort_every=cfg.resort_every)
+    mesh = make_mesh(8, axes=("x", "y"))
+    run = build_owner_runner(cfg, mesh, envelope=env)
+    out = run(shard_state(state, mesh), n)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-6, atol=1e-7), "fluid mismatch"
+    for co, cr in zip(out.cells, ref.cells):
+        assert np.allclose(np.asarray(co.pos), np.asarray(cr.pos),
+                           rtol=0, atol=1e-5), "pos mismatch"
+        assert np.array_equal(np.asarray(co.alive), np.asarray(cr.alive))
+    assert int(out.ibm_overflow) == 0
+    return out
+
+
+def test_owner_2d_mesh_matches():
+    """2-D ("x","y") owner tables: per-tile ownership, two-hop corner
+    halos for deposits/velocities, 3x3 neighbour tables.  Deformed cells
+    make the deposit halo non-vacuous (see
+    test_deformed_cells_halo_deposits)."""
+    cfg, state = _build(shape=(48, 48, 16), n_cells=4)
+    cs = state.cells[0]
+    p = np.asarray(cs.pos)
+    cm = p.mean(axis=1, keepdims=True)
+    p = cm + (p - cm) * 1.12
+    state = state._replace(cells=(cs._replace(pos=jnp.asarray(p)),))
+    _compare_2d(cfg, state, n=4)
+
+
+def test_owner_2d_walls_and_migration():
+    """Walls + a diagonal initial flow: cells drift across BOTH tile
+    axes (two-phase migration; corner migrants ride two hops)."""
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state = _build(shape=(48, 48, 16), n_cells=4, resort_every=1)
+    flags = np.zeros((48, 48, 16), np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    flags[:, :, -1] = FLAG_WALL
+    cfg = dataclasses.replace(cfg, flags=jnp.asarray(flags))
+    state = initial_sim_state(cfg, state.cells, u0=(0.03, 0.02, 0.0))
+    _compare_2d(cfg, state, n=8)
+
+
+def test_owner_2d_repulsion_matches():
+    """Inter-cell repulsion on the 2-D mesh: the ±y exchange of the
+    x-union must deliver corner-neighbour cells to the pair search."""
+    cfg, state = _build(shape=(48, 48, 16), n_cells=4)
+    cs = state.cells[0]
+    p = np.array(np.asarray(cs.pos))
+    diff = p[0][:, None, :] - p[1][None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    i, j = np.unravel_index(dist.argmin(), dist.shape)
+    p[1] = p[1] - (dist[i, j] - 0.4) * (p[1][j] - p[0][i]) / dist[i, j]
+    state = state._replace(cells=(cs._replace(pos=jnp.asarray(p)),))
+    cfg = dataclasses.replace(
+        cfg, repulsion_constant=5e-4, repulsion_cutoff=1.0,
+        repulsion_every=2,
+    )
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 4
+    )
+    fr = np.concatenate(
+        [np.asarray(c.force_repulsion).ravel() for c in ref.cells]
+    )
+    assert np.abs(fr).max() > 0.0
+    _compare_2d(cfg, state, n=4)
