@@ -1208,15 +1208,30 @@ class HemoCell:
                 datasets=datasets,
                 triangles=tris,
             ))
-            # per-cell CSV (io/writeCellInfoCSV.cpp)
+            # per-cell CSV (io/writeCellInfoCSV.cpp).  atomic_block = the
+            # owning x-slab index under the current mesh (the reference
+            # reports the Palabos block id; our dense decomposition's
+            # analog is the shard slab).  baseCellId == cellId is
+            # semantically exact here: positions are unwrapped, so no
+            # periodic images ever get re-labelled
+            # (core/hemoCellParticleDataTransfer.cpp:33-65 — ∅ by design).
             vols = np.asarray(self.cell_volumes(k))[alive]
             areas = np.asarray(self.cell_areas(k))[alive]
             centers = pos.mean(axis=1)
             vels = vel.mean(axis=1)
             ids = np.arange(len(alive))[alive]
+            mesh_obj = getattr(self, "_mesh", None)
+            if mesh_obj is not None:
+                nxm = int(mesh_obj.shape[mesh_obj.axis_names[0]])
+                blk = (
+                    np.mod(centers[:, 0], self.shape[0])
+                    // max(1, self.shape[0] // max(1, nxm))
+                ).astype(int)
+            else:
+                blk = np.zeros(nca, int)
             rows = [
                 [centers[i, 0], centers[i, 1], centers[i, 2], areas[i],
-                 vols[i], 0, int(ids[i]), int(ids[i]),
+                 vols[i], int(blk[i]), int(ids[i]), int(ids[i]),
                  vels[i, 0], vels[i, 1], vels[i, 2]]
                 for i in range(nca)
             ]
