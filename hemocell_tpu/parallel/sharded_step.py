@@ -32,11 +32,11 @@ particle envelopes (core/hemoCell.cpp:438-571, core/hemoCellFields.cpp:
 
 Supported feature subset: body force (vector), walls + moving bounce-back
 velocity BC, pressure outlets (node-local density Dirichlet), CEPAC
-(second lattice, same halo pattern), interior viscosity (slab-local omega
-updates + omega halo rows; 1-D meshes), Lees-Edwards (x-all_gather'd
+(second lattice, same halo pattern), interior viscosity and solidify
+(tile-local updates; 1-D and 2-D meshes), Lees-Edwards (x-all_gather'd
 corrected wrap planes + plane halo rows; 1-D meshes, all-fluid box),
 inter-cell + boundary repulsion, timescale separation, force cap,
-boundary-contact deletion, restime.  Solidify and preInlet dynamic
+boundary-contact deletion, restime.  LE combos and preInlet dynamic
 overrides fall back to the GSPMD runner (parallel/sharding.py).
 """
 
@@ -67,12 +67,12 @@ from ..config.defaults import FLAG_FLUID
 def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
     """True when the explicit shard_map step covers this configuration.
 
-    r04 widened the fast path: pressure outlets (node-local density
+    r04/r05 widened the fast path: pressure outlets (node-local density
     Dirichlet), CEPAC (second lattice, same two-hop halo pattern),
-    interior viscosity (slab-local omega updates + omega halo rows — 1-D
-    meshes), Lees-Edwards (1-D meshes, all-fluid box) and solidify (1-D
-    meshes) all ride shard_map; the GSPMD runner keeps only the rejected
-    COMBINATIONS (e.g. solidify+CEPAC, 2-D-mesh solidify/LE) (reference:
+    interior viscosity and solidify (tile-local updates, 1-D AND 2-D
+    meshes) all ride shard_map; the GSPMD runner keeps only
+    Lees-Edwards's rejected combinations (walled boxes, 2-D meshes,
+    interior/CEPAC/solidify combos) and the scatter fallback (reference:
     every feature under any decomposition, core/hemoCell.cpp:438-571)."""
     if cfg.spread_mode == "scatter":
         # the facade's overflow guard falls back to the exact XLA scatter
@@ -92,26 +92,15 @@ def shardmap_supported(cfg: StepConfig, mesh=None) -> bool:
             return False  # LE shear box is all-fluid by construction
         if mesh is not None and len(mesh.axis_names) > 1:
             return False
-    if cfg.solidify_every:
-        # solidify rides 1-D (x) meshes: the mutable flags + binding mask
-        # are carried as x-sharded state (their fluid-kernel halo rows ride
-        # the existing flags ppermute), phase A's interior hardening is a
-        # slab-local scatter (x_origin/x_extent, like interior viscosity)
-        # and phase B's 27-neighbour binding/Tresca test reads 1-row
-        # ppermute ghosts + a cell-hit psum.  r05 widened the combos:
-        # CEPAC (independent phase 3b) and interior viscosity (independent
-        # slab-local omega updates, phase 2b) now ride along — only LE and
-        # 2-D meshes stay on the GSPMD runner.
-        if cfg.lees_edwards_velocity is not None:
-            return False
-        if mesh is not None and len(mesh.axis_names) > 1 and \
-                int(mesh.shape[mesh.axis_names[1]]) > 1:
-            return False
-    if cfg.interior_every and mesh is not None and (
-        len(mesh.axis_names) > 1
-        and int(mesh.shape[mesh.axis_names[1]]) > 1
-    ):
-        # slab-local omega updates are 1-D (x) only so far
+    if cfg.solidify_every and cfg.lees_edwards_velocity is not None:
+        # solidify rides 1-D AND 2-D meshes (r05): the mutable flags +
+        # binding mask are carried as tile-sharded state, phase A's
+        # interior hardening is a tile-local scatter (x/y restriction,
+        # like interior viscosity) and phase B's 27-neighbour
+        # binding/Tresca test reads 1-row ppermute ghosts per sharded
+        # axis (y-then-x two-hop carries the corners) + a cell-hit psum.
+        # CEPAC and interior-viscosity combos ride along; only the LE
+        # combo stays on the GSPMD runner.
         return False
     if cfg.body_force is not None and jnp.asarray(cfg.body_force).ndim != 1:
         return False
@@ -427,15 +416,20 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             from ..cells.interior import interior_mask, membrane_omega_update
 
             x0i = jax.lax.axis_index(axis) * Xl
+            y0i = (
+                jax.lax.axis_index(ay) * Yl if ay
+                else jnp.asarray(0, jnp.int32)
+            )
 
             def _om_recompute(_):
-                om_l = jnp.full((Xl, Y, Z), cfg.omega, dtype=dtype)
+                om_l = jnp.full((Xl, Yl, Z), cfg.omega, dtype=dtype)
                 for tc, cs in zip(cfg.types, cells):
                     if tc.omega_interior is None:
                         continue
                     m = interior_mask(
                         cs.pos, tc.topo["tri"], cs.alive, shape,
                         tc.interior_box, x_origin=x0i, x_extent=Xl,
+                        y_origin=y0i, y_extent=Yl,
                     )
                     om_l = jnp.where(m, tc.omega_interior, om_l)
                 return om_l
@@ -455,6 +449,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                             tc.omega_interior, cfg.omega,
                             tc.topo["edge_mean_eq"], shape,
                             x_origin=x0i, x_extent=Xl,
+                            y_origin=y0i, y_extent=Yl,
                         )
                     return om_l
 
@@ -510,7 +505,10 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
         om = jnp.asarray(cfg.omega, dtype)
         om_halo = None
         if omega_field_new is not None:
-            om = omega_field_new  # [Xl, Y, Z] per-node relaxation
+            # [Xl, Yl, Z] per-node relaxation; on 2-D meshes the operand
+            # gets 1-row y ghosts like every other fluid operand, and the
+            # x halo rows are taken from the y-extended field (corners)
+            om = _fluid_op(omega_field_new, 0)
             om_halo = (
                 jax.lax.ppermute(om[None, -1:], axis, perm=_fwd(axis))[0],
                 jax.lax.ppermute(om[None, :1], axis, perm=_bwd(axis))[0],
@@ -725,11 +723,12 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
                 offset += cnt
 
-        # ---- 4b: solidify mechanics (1-D mesh; dynamics.py phase 4b) -----
-        # Phase A hardens marked cells' interiors slab-locally (the same
-        # x_origin/x_extent restriction as interior viscosity); phase B's
-        # 27-neighbour binding/Tresca test reads one ppermute ghost row per
-        # side and psums the per-cell hit across shards (cells replicated).
+        # ---- 4b: solidify mechanics (dynamics.py phase 4b) ---------------
+        # Phase A hardens marked cells' interiors tile-locally (the same
+        # x/y restriction as interior viscosity); phase B's 27-neighbour
+        # binding/Tresca test reads one ppermute ghost row per side per
+        # sharded axis (y ghosts two-hop via the x-extended field) and
+        # psums the per-cell hit across shards (cells replicated).
         flags_new = state.flags_state
         binding_new = state.binding_mask
         if cfg.solidify_every and state.flags_state is not None:
@@ -737,6 +736,10 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             from ..fluid.tresca import tresca_field
 
             x0i = jax.lax.axis_index(axis) * Xl
+            y0s = (
+                jax.lax.axis_index(ay) * Yl if ay
+                else jnp.asarray(0, jnp.int32)
+            )
 
             def _solidify(args):
                 flags_s, binding, cell_list = args
@@ -749,6 +752,7 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     interior = interior_mask(
                         cs.pos, tc.topo["tri"], marked, shape,
                         tc.interior_box, x_origin=x0i, x_extent=Xl,
+                        y_origin=y0s, y_extent=Yl,
                     )
                     interior = interior & (flags_s == 0)
                     flags_s = jnp.where(interior, jnp.uint8(1), flags_s)
@@ -770,8 +774,15 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     tresca_field(f_new, force_b, jnp.asarray(cfg.omega,
                                                              dtype)) / 1e-7
                 )
-                b_ext = _yext(binding[None].astype(jnp.int32), axis, 1)[0]
-                t_ext = _yext(tresca[None], axis, 1)[0]
+                def _bt_ext(arr):
+                    # 1-row ghosts on each sharded axis; y first so the x
+                    # extension carries the diagonal corners (two-hop)
+                    if ay:
+                        arr = _yext(arr, ay, 2)
+                    return _yext(arr, axis, 1)
+
+                b_ext = _bt_ext(binding[None].astype(jnp.int32))[0]
+                t_ext = _bt_ext(tresca[None])[0]
                 nbr = jnp.asarray(
                     np.array(
                         [
@@ -792,20 +803,30 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     lx = jnp.mod(node[:, 0], X) - x0i
                     ins_v = (lx >= 0) & (lx < Xl)
                     lx_c = jnp.clip(lx, 0, Xl - 1)
-                    ny_ = jnp.mod(node[:, 1], Y)
+                    if ay:
+                        ly = jnp.mod(node[:, 1], Y) - y0s
+                        ins_v = ins_v & (ly >= 0) & (ly < Yl)
+                        ly_c = jnp.clip(ly, 0, Yl - 1)
+                        ny_loc = ly_c[:, None] + nbr[None, :, 1] + 1
+                        ny_glob = (
+                            y0s + ly_c[:, None] + nbr[None, :, 1]
+                        ).astype(dtype)
+                    else:
+                        ny_ = jnp.mod(node[:, 1], Y)
+                        ny_loc = jnp.mod(ny_[:, None] + nbr[None, :, 1], Y)
+                        ny_glob = ny_loc.astype(dtype)
                     nz_ = jnp.mod(node[:, 2], Z)
                     nn_x = lx_c[:, None] + nbr[None, :, 0] + 1  # [0, Xl+1]
-                    nn_y = jnp.mod(ny_[:, None] + nbr[None, :, 1], Y)
                     nn_z = jnp.mod(nz_[:, None] + nbr[None, :, 2], Z)
-                    b = b_ext[nn_x, nn_y, nn_z] > 0
-                    t = t_ext[nn_x, nn_y, nn_z]
+                    b = b_ext[nn_x, ny_loc, nn_z] > 0
+                    t = t_ext[nn_x, ny_loc, nn_z]
                     # global neighbour coords (pre-mod is fine: the
                     # min-image below folds any X/Y/Z offset)
                     nn_g = jnp.stack(
                         [
                             (x0i + lx_c[:, None] + nbr[None, :, 0])
                             .astype(dtype),
-                            nn_y.astype(dtype),
+                            ny_glob,
                             nn_z.astype(dtype),
                         ],
                         axis=-1,

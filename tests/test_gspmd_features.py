@@ -101,10 +101,12 @@ def test_interior_viscosity_invariance():
                                  interior_box=12)]
     cfg = dataclasses.replace(cfg, types=types, interior_every=2,
                               interior_entire_every=4)
-    # r04: interior viscosity gained a 1-D shard_map fast path; 2-D meshes
-    # still route to GSPMD (slab-local omega updates are x-only)
+    # r04: interior viscosity gained a 1-D shard_map fast path; r05
+    # extended it to 2-D meshes — the GSPMD runner below is built
+    # explicitly (_invariance calls build_sharded_runner), so this stays
+    # a GSPMD-tier test regardless of the fast path's coverage
     assert shardmap_supported(cfg)
-    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    assert shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
     state = initial_sim_state(cfg, list(state.cells))
     _invariance(cfg, state)
 
@@ -137,10 +139,9 @@ def test_solidify_invariance():
         shape=shape, flags=jnp.asarray(flags), omega=1.0, types=[tc],
         solidify_every=2, dtype=jnp.float64, use_pallas=False,
     )
-    # r04: solidify rides 1-D shard_map (test_shardmap_step.py::
-    # test_solidify_shardmap); 2-D meshes still route to GSPMD, which is
-    # what this test exercises
-    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    # r05: solidify rides 1-D AND 2-D shard_map meshes; this test keeps
+    # exercising the explicitly-built GSPMD runner as the fallback tier
+    assert shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
     cells = make_cell_state(
         (mesh_t.vertices + np.array([12.0, 8.0, 3.6]))[None],
         dtype=jnp.float64,

@@ -118,8 +118,13 @@ def test_unsupported_features_detected():
     # the CEPAC and interior-viscosity combos — only LE and 2-D meshes
     # stay on GSPMD
     assert shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
-    assert not shardmap_supported(
+    # r05: solidify and interior viscosity ride 2-D meshes too
+    assert shardmap_supported(
         dataclasses.replace(cfg, solidify_every=2),
+        make_mesh(8, axes=("x", "y")),
+    )
+    assert shardmap_supported(
+        dataclasses.replace(cfg, interior_every=2),
         make_mesh(8, axes=("x", "y")),
     )
     assert shardmap_supported(
@@ -372,7 +377,7 @@ def test_lees_edwards_shardmap():
     )
     cfg = dataclasses.replace(cfg, lees_edwards_velocity=1e-3)
     assert shardmap_supported(cfg)
-    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    assert shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))  # r05
     state = initial_sim_state(cfg, list(state.cells))
     _compare(cfg, state, n=6)
 
@@ -430,7 +435,7 @@ def test_solidify_shardmap():
         solidify_every=2,
     )
     assert shardmap_supported(cfg)
-    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
+    assert shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))  # r05
     cells = make_cell_state(
         (mesh_t.vertices + np.array([12.0, 8.0, 3.6]))[None],
     )
@@ -511,4 +516,67 @@ def test_solidify_cepac_interior_combo_shardmap():
                        rtol=1e-6, atol=1e-8)
     assert np.allclose(np.asarray(out.omega_field),
                        np.asarray(ref.omega_field), rtol=0, atol=1e-6)
+    assert (np.asarray(ref.flags_state) != flags).any()
+
+
+def test_solidify_2d_mesh_shardmap():
+    """r05: solidify rides 2-D ("x","y") meshes — tile-local phase A
+    (x/y-restricted interior_mask), two-hop corner ghosts for the
+    binding/Tresca neighbourhood in phase B."""
+    from hemocell_tpu.cells.state import make_cell_state
+    from hemocell_tpu.dynamics import StepConfig, TypeConfig, \
+        initial_sim_state
+    from hemocell_tpu.mechanics import (
+        MODEL_REGISTRY,
+        MaterialConstants,
+        material_dict,
+        topology_device_arrays,
+    )
+    from hemocell_tpu.mesh import build_topology, ellipsoid_from_sphere
+
+    mesh_t = ellipsoid_from_sphere(2.5, 0.435, 66)
+    topo = build_topology(mesh_t)
+    shape = (32, 32, 16)
+    flags = np.zeros(shape, np.uint8)
+    flags[:, :, 0] = FLAG_WALL
+    tc = TypeConfig(
+        name="PLT", model_fn=MODEL_REGISTRY["PltSimpleModel"],
+        topo=topology_device_arrays(topo),
+        material=material_dict(MaterialConstants(
+            k_volume=0.5, k_area=0.5, k_link=0.5, k_bend=0.2)),
+        solidify=True, distance_threshold=2.0, shear_threshold=-1.0,
+        interior_box=12, omega_interior=0.6,
+    )
+    cfg = StepConfig(
+        shape=shape, flags=jnp.asarray(flags), omega=1.0, types=[tc],
+        solidify_every=2, interior_every=2, interior_entire_every=4,
+    )
+    mesh2 = make_mesh(8, axes=("x", "y"))
+    assert shardmap_supported(cfg, mesh2)
+    # place the platelet straddling an interior (x,y) tile corner so the
+    # hardening scatter and ghost reads genuinely cross both axes
+    nx2, ny2 = int(mesh2.shape["x"]), int(mesh2.shape["y"])
+    cx, cy = 32 // nx2, 32 // ny2
+    cells = make_cell_state(
+        (mesh_t.vertices + np.array([float(cx), float(cy), 3.6]))[None],
+    )
+    state = initial_sim_state(cfg, [cells])
+
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 4
+    )
+    out = build_shardmap_runner(cfg, mesh2)(shard_state(state, mesh2), 4)
+    assert np.allclose(np.asarray(out.f), np.asarray(ref.f),
+                       rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.flags_state),
+                                  np.asarray(ref.flags_state))
+    np.testing.assert_array_equal(np.asarray(out.binding_mask),
+                                  np.asarray(ref.binding_mask))
+    assert np.allclose(np.asarray(out.omega_field),
+                       np.asarray(ref.omega_field), rtol=0, atol=1e-6)
+    for co, cr in zip(out.cells, ref.cells):
+        np.testing.assert_array_equal(np.asarray(co.alive),
+                                      np.asarray(cr.alive))
+        np.testing.assert_array_equal(np.asarray(co.solidify),
+                                      np.asarray(cr.solidify))
     assert (np.asarray(ref.flags_state) != flags).any()
