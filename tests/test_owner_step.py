@@ -394,3 +394,33 @@ def test_owner_2d_repulsion_matches():
     )
     assert np.abs(fr).max() > 0.0
     _compare_2d(cfg, state, n=4)
+
+
+def test_facade_auto_selects_owner_2d(tmp_path):
+    """distribute() with a 2-D mesh picks the owner runner when both tile
+    axes satisfy the envelope bounds."""
+    from hemocell_tpu import HemoCell
+    from hemocell_tpu.parallel.sharding import make_mesh
+
+    (tmp_path / "config.xml").write_text(
+        """<?xml version="1.0" ?><hemocell>
+        <domain><rhoP>1025</rhoP><nuP>1.1e-6</nuP><dx>5e-7</dx>
+        <dt>1e-7</dt><kBT>4.100531391e-21</kBT></domain>
+        <sim><tmax>10</tmax></sim></hemocell>"""
+    )
+    (tmp_path / "RBC.xml").write_text(open(os.path.join(
+        os.path.dirname(__file__), "..", "tools", "cell_templates",
+        "RBC_template.xml")).read())
+    (tmp_path / "RBC.pos").write_text(
+        "2\n12.0 12.0 6.0 0 0 0\n30.0 20.0 6.0 0 0 0\n"
+    )
+    hc = HemoCell(str(tmp_path / "config.xml"))
+    hc.initialize_lattice(shape=(96, 96, 24))
+    hc.add_cell_type("RBC", "RbcHighOrderModel")
+    hc.load_particles()
+    hc.set_body_force((1e-6, 0.0, 0.0))
+    hc.distribute(mesh=make_mesh(8, axes=("x", "y")))
+    hc.iterate(2)
+    hc.block()
+    assert hc._distributed_mode == "owner"
+    assert int(hc.state.ibm_overflow) == 0
