@@ -552,7 +552,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     )
 
                 new_shadow = jax.lax.cond(resync, _resync, _carry, None)
-                if has_boundaries:
+                n_cells_tot = sum(cs.pos.shape[0] for cs in cells)
+                # the per-cell one-hot reduction holds a [chunk, NCp]
+                # one-hot in VMEM — cap the fused path at 2048 cells
+                # (beyond it the gather-based deletion path takes over)
+                hit_fusable = n_cells_tot <= 2048
+                if has_boundaries and hit_fusable:
                     # wall-contact counts fused into the spread pass (same
                     # windows/iotas; saves the standalone 0.32 ms/it hit
                     # kernel).  Verdict positions = post-advance of the
@@ -561,7 +566,12 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                     field, fused_hits = pallas_spread_shadow(
                         new_shadow.plan, shape, ibm_capacity,
                         mm=cfg.ibm_mm, mask=fluid_mask3,
-                        hit_cells=sum(cs.pos.shape[0] for cs in cells),
+                        hit_cells=n_cells_tot,
+                    )
+                elif has_boundaries:
+                    field = pallas_spread_shadow(
+                        new_shadow.plan, shape, ibm_capacity,
+                        mm=cfg.ibm_mm, mask=fluid_mask3,
                     )
                     # destination masking is fused in-kernel (r05)
                 else:
@@ -950,10 +960,14 @@ def build_step(cfg: StepConfig) -> Callable[[SimState], SimState]:
                 # (0.32 ms/it); deletion is one step deferred vs the
                 # reference schedule (see _spread_renorm_hit_kernel)
                 hit_counts = fused_hits
-            elif has_boundaries and pos_flat is not None and use_pallas_ibm:
+            elif has_boundaries and pos_flat is not None and \
+                    use_pallas_ibm and \
+                    sum(cs.pos.shape[0] for cs in cells) <= 2048:
                 # per-cell wall-contact counts via the Pallas nearest-node
                 # kernel: replaces a [P] arbitrary flags gather that
-                # measured 1.86 ms/it (47% of the step) on pipeflow30
+                # measured 1.86 ms/it (47% of the step) on pipeflow30.
+                # Same [chunk, NCp] one-hot VMEM cap as the fused path;
+                # larger suspensions use the on_boundary gather below.
                 from .ibm.pallas_ibm import pallas_wall_hit_cells
 
                 wall01 = (flags != 0).astype(cfg.dtype)

@@ -547,7 +547,7 @@ class HemoCell:
                         cfg, mesh, envelope=env
                     )
                     owner_ok = True
-                elif pick == "owner" or n_cells > 0:
+                else:
                     from .utils.logfile import hlog
 
                     hlog(
@@ -739,7 +739,16 @@ class HemoCell:
             n_verts = sum(
                 cs.pos.shape[0] * cs.pos.shape[1] for cs in self.cell_states
             )
-            if recoveries < 2 and n_verts > 0:
+            # recovery escalates adaptive_capacity's margin, which only
+            # the SINGLE-DEVICE runner consumes — the distributed runners
+            # size their windows from the blind safety-4 slab_capacity,
+            # so a distributed overflow means genuine extreme crowding:
+            # go straight to the exact scatter fallback there instead of
+            # issuing no-op 'recovered' rebuilds (r05 review fix)
+            if (
+                recoveries < 2 and n_verts > 0
+                and getattr(self, "_mesh", None) is None
+            ):
                 self._overflow_recoveries = recoveries + 1
                 self._ibm_capacity_margin = 1.5 * (1.6 ** (recoveries + 1))
                 _w.warn(

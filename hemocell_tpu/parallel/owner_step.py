@@ -323,8 +323,33 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                             jax.lax.ppermute(a, ay, perm=_bwd(ay))
                             for a in ux
                         ))
-                out.append(f)
-            return out
+                out.append(tuple(f))
+            return tuple(out)
+
+        def _nbr_tables_zero(owned):
+            """Structure-matched all-empty tables (the cond fallback on
+            steps where no consumer's cadence fires — no ppermutes)."""
+            out = []
+            for o in owned:
+                base = (
+                    jnp.full_like(o.idx, -1),
+                    jnp.zeros_like(o.pos),
+                    jnp.zeros_like(o.alive),
+                )
+                f = [base]
+                if nx > 2:
+                    f.append(base)
+                if ay is not None:
+                    kx = len(f) + 1
+                    ux = tuple(
+                        jnp.concatenate([b] * kx, axis=0) for b in base
+                    )
+                    ux = (jnp.full_like(ux[0], -1), ux[1], ux[2])
+                    f.append(ux)
+                    if ny > 2:
+                        f.append(ux)
+                out.append(tuple(f))
+            return tuple(out)
 
         def _tab_concat(o, foreign):
             """Own + neighbour cells of one type: pos [kC, nv, 3] +
@@ -337,6 +362,35 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
         def step(carry):
             f, it, ov, owned, cep, om_f = carry
+
+            # ---- neighbour-table exchange, ONCE per step for every
+            # consumer (repulsion + both interior-viscosity cadences):
+            # a separate exchange per consumer would repeat the dominant
+            # inter-shard table ppermutes up to 3x when cadences coincide
+            # (r05 review fix).  Off-steps take the no-ppermute zero
+            # branch.
+            tabs_preds = []
+            if has_rep:
+                tabs_preds.append(jnp.mod(it, cfg.repulsion_every) == 0)
+            if cfg.interior_every and om_f is not None:
+                _entire = cfg.interior_entire_every or cfg.interior_every
+                tabs_preds.append(jnp.mod(it, _entire) == 0)
+                if cfg.interior_entire_every and \
+                        _entire != cfg.interior_every:
+                    tabs_preds.append(
+                        jnp.mod(it, cfg.interior_every) == 0
+                    )
+            tabs = None
+            if tabs_preds:
+                pred = tabs_preds[0]
+                for p in tabs_preds[1:]:
+                    pred = pred | p
+                tabs = jax.lax.cond(
+                    pred,
+                    lambda _: _nbr_tables(owned),
+                    lambda _: _nbr_tables_zero(owned),
+                    None,
+                )
 
             # ---- 1: repulsion at cadence (own + neighbour tables;
             # reference: applyRepulsionForce pair loops,
@@ -351,7 +405,6 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 from ..cells.repulsion import boundary_repulsion_forces
 
                 def _rep_all(_):
-                    tabs = _nbr_tables(owned)
                     pos_parts = [flat(owned, "pos")]
                     gid_parts, act_parts = [], []
                     for off_t, o in zip(type_offsets, owned):
@@ -447,7 +500,6 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
 
                 def _om_recompute(_):
                     om_l = jnp.full((Xl, Yl, Z), cfg.omega, dtype=dtype)
-                    tabs = _nbr_tables(owned)
                     for tc, o, foreign in zip(cfg.types, owned, tabs):
                         if tc.omega_interior is None:
                             continue
@@ -466,7 +518,6 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         entire != cfg.interior_every:
 
                     def _om_membrane(om_l):
-                        tabs = _nbr_tables(owned)
                         for tc, o, foreign in zip(cfg.types, owned, tabs):
                             if tc.omega_interior is None:
                                 continue

@@ -239,7 +239,13 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             # same Pallas slab-window kernel as the single-device and
             # owner paths (shardmap_supported rejects scatter mode, so
             # this step is Pallas-only by construction); replicated
-            # inputs give identical replicated outputs on every shard
+            # inputs give identical replicated outputs on every shard.
+            # NOTE the kernel's documented face behavior: pairs straddling
+            # the domain faces are best-effort (clamped x windows, no y/z
+            # wrap) — matching the REFERENCE's node-grid pair loops, which
+            # do not wrap the lattice either
+            # (hemoCellParticleField.cpp:707-741); the jnp scatter path
+            # (GSPMD runner) keeps exact min-image wrapping
             def _rep(p):
                 from ..cells.pallas_repulsion import pallas_repulsion
 
@@ -770,9 +776,17 @@ def build_shardmap_step(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         bf_uniform if bf_uniform is not None
                         else jnp.zeros(3, dtype)
                     )[:, None, None, None]
+                # per-node omega when interior viscosity is active —
+                # the single-device path feeds the omega FIELD into the
+                # strain computation (dynamics.py phase 4b); a scalar here
+                # would skew Tresca exactly at the hardened interior
+                # nodes where omega differs (r05 review fix)
+                om_tr = (
+                    omega_field_new if omega_field_new is not None
+                    else jnp.asarray(cfg.omega, dtype)
+                )
                 tresca = jnp.abs(
-                    tresca_field(f_new, force_b, jnp.asarray(cfg.omega,
-                                                             dtype)) / 1e-7
+                    tresca_field(f_new, force_b, om_tr) / 1e-7
                 )
                 def _bt_ext(arr):
                     # 1-row ghosts on each sharded axis; y first so the x

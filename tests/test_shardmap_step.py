@@ -115,8 +115,8 @@ def test_unsupported_features_detected():
         dataclasses.replace(cfg, lees_edwards_velocity=0.01, flags=flags_w)
     )
     # r04: solidify gained a 1-D shard_map fast path; r05 widened it to
-    # the CEPAC and interior-viscosity combos — only LE and 2-D meshes
-    # stay on GSPMD
+    # 2-D meshes and the CEPAC / interior-viscosity combos — only the LE
+    # combos stay on GSPMD
     assert shardmap_supported(dataclasses.replace(cfg, solidify_every=2))
     # r05: solidify and interior viscosity ride 2-D meshes too
     assert shardmap_supported(
@@ -377,7 +377,9 @@ def test_lees_edwards_shardmap():
     )
     cfg = dataclasses.replace(cfg, lees_edwards_velocity=1e-3)
     assert shardmap_supported(cfg)
-    assert shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))  # r05
+    # LE stays 1-D: the corrected wrap planes are all_gather'd along x
+    # only (a 2-D mesh would need a second gather axis)
+    assert not shardmap_supported(cfg, make_mesh(8, axes=("x", "y")))
     state = initial_sim_state(cfg, list(state.cells))
     _compare(cfg, state, n=6)
 
