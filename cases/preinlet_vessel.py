@@ -82,9 +82,14 @@ def main():
               f"period {period} steps")
 
     flags = np.asarray(hc.flags)
+    # the preinlet is the INLET PLANE EXTRUDED into a periodic driver tube
+    # (the reference's preInletFromSlice semantics, helper/preInlet.cpp:
+    # 453-590) — vessel trees like AR2 are not x-uniform, so the raw
+    # vessel flags would put a discontinuity at the periodic wrap
+    pre_flags = np.broadcast_to(flags[0][None], flags.shape).copy()
     pre_cfg = StepConfig(
         shape=hc.shape,
-        flags=jnp.asarray(flags),
+        flags=jnp.asarray(pre_flags),
         omega=hc.omega,
         types=main_cfg.types,
         body_force=jnp.asarray([1.0, 0.0, 0.0], hc.dtype),

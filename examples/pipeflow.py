@@ -53,7 +53,12 @@ def build_pipeflow(config_path: str, outdir: str | None = None,
     # reference decomposes arbitrary extents into blocks
     # (core/hemoCell.cpp:438-571); dense TPU arrays want aligned extents
     # so the lane-folded fluid kernel fills the 128-wide vector tile.
-    flags, _ = pad_flags_tpu(flags, x_mode="extend")
+    try:
+        flags, _ = pad_flags_tpu(flags, x_mode="extend")
+    except ValueError:
+        # non-x-uniform geometry (vessel trees like AR2): replicated-plane
+        # padding would be wrong at the wrap — append inert wall planes
+        flags, _ = pad_flags_tpu(flags, x_mode="wall")
 
     # pipe parameters from the fluid cross-section area at x0
     fluid_area = float((flags[0] == FLAG_FLUID).sum())
