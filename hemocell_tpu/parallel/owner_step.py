@@ -45,8 +45,9 @@ On 2-D meshes migration runs one phase per axis (diagonal migrants reach
 the corner in two hops) and the spread halo-add ships the x ghost blocks
 over the full extended y width first, then the y strips of the x-merged
 field — corner deposits ride both hops.  Still excluded (ride the
-replicated shard_map / GSPMD runners): Lees-Edwards, solidify,
-Adams-Bashforth.
+replicated shard_map / GSPMD runners): Lees-Edwards and solidify.
+(Adams-Bashforth rides the owner tables since r05: vel_prev is a table
+column that migrates with its cell.)
 """
 
 from __future__ import annotations
@@ -80,6 +81,7 @@ class OwnedType(NamedTuple):
     frep: jnp.ndarray      # [Ccap, nv, 3]
     alive: jnp.ndarray     # [Ccap] bool
     restime: Optional[jnp.ndarray]  # [Ccap] int32 or None
+    vel_prev: Optional[jnp.ndarray] = None  # [Ccap, nv, 3] (Adams-Bashforth)
 
 
 def owner_unsupported_reason(cfg: StepConfig, n_cells_total: int):
@@ -91,8 +93,6 @@ def owner_unsupported_reason(cfg: StepConfig, n_cells_total: int):
         return "Lees-Edwards sheared periodicity"
     if cfg.solidify_every:
         return "solidify mechanics (mutable flags)"
-    if cfg.material_integration != 1:
-        return "Adams-Bashforth integration"
     if cfg.body_force is not None and np.ndim(cfg.body_force) != 1:
         return "non-uniform body-force field"
     if n_cells_total == 0:
@@ -765,7 +765,14 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 cnt = cc * nv
                 v_t = vel_f[off: off + cnt].reshape(cc, nv, 3)
                 off += cnt
-                new_pos = o.pos + v_t
+                if cfg.material_integration == 2 and \
+                        o.vel_prev is not None:
+                    # Adams-Bashforth (hemoCellParticle.h:197-200)
+                    new_pos = o.pos + 1.5 * v_t - 0.5 * o.vel_prev
+                    vel_prev_new = v_t
+                else:
+                    new_pos = o.pos + v_t
+                    vel_prev_new = o.vel_prev
                 if has_boundaries:
                     pg = to_grid_x(new_pos[..., 0].reshape(-1))
                     node_x = jnp.clip(
@@ -819,7 +826,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 )
                 new_owned.append(o._replace(
                     pos=new_pos, vel=v_t, force=force, alive=alive,
-                    restime=restime,
+                    restime=restime, vel_prev=vel_prev_new,
                 ))
             return f_new, it + 1, ov, tuple(new_owned), cep, om_f
 
@@ -865,6 +872,9 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                 has_rt = o.restime is not None
                 if has_rt:
                     arrs.append(o.restime)
+                has_vp = o.vel_prev is not None
+                if has_vp:
+                    arrs.append(o.vel_prev)
                 sorted_a = _take_rows(arrs, order)
 
                 def buf_at(start, n_valid):
@@ -907,6 +917,7 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                     idx=packed[0], pos=packed[1], vel=packed[2],
                     force=packed[3], frep=packed[4], alive=packed[5],
                     restime=packed[6] if has_rt else None,
+                    vel_prev=packed[6 + int(has_rt)] if has_vp else None,
                 ))
             return tuple(out), ov
 
@@ -972,9 +983,13 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
             rt = None
             if cs.restime is not None:
                 rt = jnp.take(cs.restime, sel, axis=0)
+            vp = None
+            if cs.vel_prev is not None:
+                vp = jnp.take(cs.vel_prev, sel, axis=0)
             owned.append(OwnedType(
                 idx=idx, pos=rows[0], vel=rows[1], force=rows[2],
                 frep=rows[3], alive=rows[4] & live, restime=rt,
+                vel_prev=vp,
             ))
         return tuple(owned), ov
 
@@ -1009,9 +1024,12 @@ def build_owner_runner(cfg: StepConfig, mesh: Mesh, axis: str = "x",
                         jnp.where(ok, o.restime, 0)
                     ), psum_axes,
                 )
+            vp = cs.vel_prev
+            if cs.vel_prev is not None and o.vel_prev is not None:
+                vp = scat(cs.vel_prev, o.vel_prev)
             out.append(cs._replace(
                 pos=pos, vel=vel, force=force, force_repulsion=frep,
-                alive=alive, restime=rt,
+                alive=alive, restime=rt, vel_prev=vp,
             ))
         return tuple(out)
 

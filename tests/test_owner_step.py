@@ -151,7 +151,8 @@ def test_unsupported_gating():
     assert not owner_supported(
         dataclasses.replace(cfg, spread_mode="scatter"), 3
     )
-    assert not owner_supported(
+    # r05: Adams-Bashforth rides the owner tables (vel_prev column)
+    assert owner_supported(
         dataclasses.replace(cfg, material_integration=2), 3
     )
     assert not owner_supported(cfg, 0)
@@ -424,3 +425,26 @@ def test_facade_auto_selects_owner_2d(tmp_path):
     hc.block()
     assert hc._distributed_mode == "owner"
     assert int(hc.state.ibm_overflow) == 0
+
+
+def test_adams_bashforth_matches():
+    """material_integration=2 (pos += 1.5v - 0.5v_prev,
+    hemoCellParticle.h:197-200): vel_prev is an owner-table column that
+    migrates with its cell."""
+    from hemocell_tpu.cells.state import make_cell_state
+    from hemocell_tpu.dynamics import initial_sim_state
+
+    cfg, state = _build(u0=0.03)
+    cfg = dataclasses.replace(cfg, material_integration=2)
+    cells_ab = make_cell_state(
+        np.asarray(state.cells[0].pos), adams_bashforth=True
+    )
+    state = initial_sim_state(cfg, [cells_ab], u0=(0.03, 0.0, 0.0))
+    out = _compare(cfg, state, n=6)
+    ref = build_runner(dataclasses.replace(cfg, spread_mode="pallas"))(
+        state, 6
+    )
+    assert np.allclose(
+        np.asarray(out.cells[0].vel_prev),
+        np.asarray(ref.cells[0].vel_prev), rtol=0, atol=1e-7,
+    )
